@@ -1,0 +1,3 @@
+from llama_cu_awq_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = ["load_checkpoint", "save_checkpoint"]

@@ -1,0 +1,124 @@
+"""QTensor: a packed w4-g128 quantized weight as a JAX pytree.
+
+The TPU-resident analog of the reference's `QWeight{weight, zeros, scales}`
+(reference: common.h:20-24), but laid out lane-friendly for Pallas/XLA:
+the 128-element lane dimension is n_out, and the nibble-packed rows sit on
+the sublane dimension. Weights stay 4-bit in HBM; dequantization happens
+on the fly in the compute kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_cu_awq_tpu.config import GROUP_SIZE
+from llama_cu_awq_tpu.quant import packing
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """Packed 4-bit weight of logical shape (n_in, n_out); out = x @ W.
+
+    qw:     uint32 (ceil(n_in/8), n_out) — 8 input-rows per word
+    zeros:  int8   (ceil(n_in/128), n_out)
+    scales: float32(ceil(n_in/128), n_out)
+    """
+
+    qw: jax.Array
+    zeros: jax.Array
+    scales: jax.Array
+    n_in: int
+    n_out: int
+
+    def tree_flatten(self):
+        return (self.qw, self.zeros, self.scales), (self.n_in, self.n_out)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.n_in, self.n_out)
+
+    @property
+    def n_groups(self) -> int:
+        return packing.div_up(self.n_in, GROUP_SIZE)
+
+    @classmethod
+    def from_numpy(cls, qw: np.ndarray, zeros: np.ndarray, scales: np.ndarray,
+                   n_in: int) -> "QTensor":
+        return cls(jnp.asarray(qw), jnp.asarray(zeros),
+                   jnp.asarray(scales), n_in, qw.shape[1])
+
+    @classmethod
+    def quantize(cls, w: np.ndarray) -> "QTensor":
+        """Quantize a dense f32 weight (tests / synthetic models)."""
+        qw, zeros, scales = packing.quantize_np(np.asarray(w, np.float32))
+        return cls.from_numpy(qw, zeros, scales, w.shape[0])
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Dense (n_in, n_out) weight; (q - z) * s in f32, then cast.
+
+        The plain-JAX oracle path (the role the SYCL CPU backend plays for
+        the reference, sycl/README.md:3); kernels fuse this on the fly.
+        """
+        return dequant_expand(self.qw, self.zeros, self.scales,
+                              self.n_in).astype(dtype)
+
+
+def dequant_expand(qw: jax.Array, zeros: jax.Array, scales: jax.Array,
+                   n_in: int) -> jax.Array:
+    """jnp dequantization of the packed layout -> f32 (n_in, n_out).
+
+    Matches gpu_kernels.h:196-197 numerics exactly: q, z are small ints and
+    s is an fp16-representable value, so (q - z) * s is exact in f32.
+    """
+    nw, d = qw.shape
+    shifts = (4 * jnp.arange(8, dtype=jnp.uint32))[None, :, None]
+    q = ((qw[:, None, :] >> shifts) & jnp.uint32(0xF)).astype(jnp.float32)
+    q = q.reshape(nw * 8, d)[:n_in]
+    gidx = jnp.arange(n_in) // GROUP_SIZE
+    z = zeros.astype(jnp.float32)[gidx]
+    s = scales[gidx]
+    return (q - z) * s
+
+
+def concat_qtensors(tensors: list[QTensor]) -> QTensor:
+    """Concatenate along n_out (fused qkv / gate-up layouts).
+
+    The TPU-native analog of the reference's fused qkv_matvec_kernel and
+    ffn_matvec_silu_kernel (gpu_kernels.h:242-275): one packed matmul over
+    the concatenated output dimension replaces multiple kernel launches.
+    """
+    n_in = tensors[0].n_in
+    assert all(t.n_in == n_in for t in tensors)
+    return QTensor(
+        jnp.concatenate([t.qw for t in tensors], axis=1),
+        jnp.concatenate([t.zeros for t in tensors], axis=1),
+        jnp.concatenate([t.scales for t in tensors], axis=1),
+        n_in,
+        sum(t.n_out for t in tensors),
+    )
+
+
+def stack_qtensors(tensors: list[QTensor]) -> QTensor:
+    """Stack per-layer QTensors along a new leading axis (for lax.scan)."""
+    t0 = tensors[0]
+    return QTensor(
+        jnp.stack([t.qw for t in tensors]),
+        jnp.stack([t.zeros for t in tensors]),
+        jnp.stack([t.scales for t in tensors]),
+        t0.n_in,
+        t0.n_out,
+    )
+
+
+def index_qtensor(qt: QTensor, i) -> QTensor:
+    """Select layer i from a stacked QTensor (inside lax.scan)."""
+    return QTensor(qt.qw[i], qt.zeros[i], qt.scales[i], qt.n_in, qt.n_out)

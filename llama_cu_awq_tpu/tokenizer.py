@@ -1,0 +1,177 @@
+"""llama2.c-format BPE tokenizer.
+
+Behavioral re-implementation of the reference's host tokenizer
+(reference: tokenizer.h:1-223): binary vocab file, greedy highest-score
+pair merges, UTF-8 byte-fallback with the +3 offset, dummy-prefix space,
+BOS-leading-space strip on decode, and `<0xXX>` byte-piece handling.
+
+A native C++ fast path (O(n log n) merge loop) is used automatically when
+the optional shared library built from native/bpe_tokenizer.cpp is present.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+BOS_TOKEN = 1  # reference: tokenizer.h:8
+EOS_TOKEN = 2  # reference: tokenizer.h:9
+
+
+class Tokenizer:
+    def __init__(self, path: str, vocab_size: int):
+        """Load a llama2.c tokenizer.bin (reference: tokenizer.h:35-59).
+
+        File format: int32 max_token_length, then vocab_size records of
+        (float32 score, int32 len, len bytes).
+        """
+        self.vocab_size = vocab_size
+        self.vocab: list[bytes] = []
+        self.scores: list[float] = []
+        with open(path, "rb") as f:
+            (self.max_token_length,) = struct.unpack("<i", f.read(4))
+            for _ in range(vocab_size):
+                score, ln = struct.unpack("<fi", f.read(8))
+                self.vocab.append(f.read(ln))
+                self.scores.append(score)
+        self._lookup = {}
+        for i, piece in enumerate(self.vocab):
+            # first occurrence wins ties, matching the reference's bsearch
+            # over a stable-sorted unique-keyed table; llama vocabs have
+            # duplicate-free strings except possibly unused slots.
+            self._lookup.setdefault(piece, i)
+        self._native = _load_native_for(self)
+
+    def str_lookup(self, piece: bytes) -> int:
+        return self._lookup.get(piece, -1)
+
+    def encode(self, text: str | bytes, bos: bool, eos: bool) -> list[int]:
+        """Encode text to token ids (reference: tokenizer.h:102-223)."""
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        tokens: list[int] = []
+        if bos:
+            tokens.append(BOS_TOKEN)
+        if text != b"":
+            # add_dummy_prefix (reference: tokenizer.h:128-136)
+            tokens.append(self._lookup[b" "])
+
+        # split raw bytes into UTF-8 codepoints (max 4 bytes), with byte
+        # fallback (+3 offset: first 3 vocab slots are <unk>,<s>,</s>)
+        i, n = 0, len(text)
+        while i < n:
+            j = i + 1
+            # consume continuation bytes (10xxxxxx), capped at 4 total
+            while j < n and (text[j] & 0xC0) == 0x80 and (j - i) < 4:
+                j += 1
+            chunk = text[i:j]
+            tid = self._lookup.get(chunk, -1)
+            if tid != -1:
+                tokens.append(tid)
+            else:
+                tokens.extend(b + 3 for b in chunk)
+            i = j
+
+        start = 1 if bos else 0
+        if self._native is not None:
+            merged = self._native.merge(tokens[start:])
+            tokens = tokens[:start] + merged
+        else:
+            tokens = tokens[:start] + self._merge_py(tokens[start:])
+        if eos:
+            tokens.append(EOS_TOKEN)
+        return tokens
+
+    def _merge_py(self, tokens: list[int]) -> list[int]:
+        """Greedy best-scoring pair merge (reference: tokenizer.h:188-217)."""
+        tokens = list(tokens)
+        vocab, scores, lookup = self.vocab, self.scores, self._lookup
+        while True:
+            best_score = -1e10
+            best_id = best_idx = -1
+            for k in range(len(tokens) - 1):
+                merged = vocab[tokens[k]] + vocab[tokens[k + 1]]
+                tid = lookup.get(merged, -1)
+                if tid != -1 and scores[tid] > best_score:
+                    best_score, best_id, best_idx = scores[tid], tid, k
+            if best_idx == -1:
+                return tokens
+            tokens[best_idx:best_idx + 2] = [best_id]
+
+    def decode(self, prev_token: int, token: int) -> bytes:
+        """Token id -> piece bytes (reference: tokenizer.h:68-79)."""
+        piece = self.vocab[token]
+        if prev_token == BOS_TOKEN and piece.startswith(b" "):
+            piece = piece[1:]
+        if len(piece) == 6 and piece.startswith(b"<0x") and piece.endswith(b">"):
+            try:
+                return bytes([int(piece[3:5], 16)])
+            except ValueError:
+                pass
+        return piece
+
+    @staticmethod
+    def safe_piece(piece: bytes) -> str:
+        """Printable-filtered piece (reference: tokenizer.h:81-93)."""
+        if not piece:
+            return ""
+        if len(piece) == 1:
+            b = piece[0]
+            # isprint || isspace
+            if not (32 <= b < 127 or b in (9, 10, 11, 12, 13, 32)):
+                return ""
+        return piece.decode("utf-8", errors="replace")
+
+
+class _NativeMerger:
+    """ctypes wrapper over the optional C++ merge loop."""
+
+    def __init__(self, lib, tok: "Tokenizer"):
+        import ctypes
+
+        self._ctypes = ctypes
+        self._lib = lib
+        n = tok.vocab_size
+        flat = b"\0".join(tok.vocab) + b"\0"
+        self._flat = ctypes.create_string_buffer(flat, len(flat))
+        lens = (ctypes.c_int * n)(*[len(v) for v in tok.vocab])
+        scores = (ctypes.c_float * n)(*tok.scores)
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.bpe_merge.restype = ctypes.c_int
+        lib.bpe_merge.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                                  ctypes.c_int]
+        self._handle = lib.bpe_create(self._flat, lens, scores, n)
+
+    def merge(self, tokens: list[int]) -> list[int]:
+        ct = self._ctypes
+        buf = (ct.c_int * len(tokens))(*tokens)
+        out_n = self._lib.bpe_merge(self._handle, buf, len(tokens))
+        return list(buf[:out_n])
+
+
+def _load_native():
+    lib_path = os.path.join(os.path.dirname(__file__), "..", "native",
+                            "build", "libbpe_tokenizer.so")
+    lib_path = os.path.abspath(lib_path)
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        import ctypes
+
+        return ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+
+
+def _load_native_for(tok: Tokenizer):
+    if os.environ.get("LLAMA_TPU_NO_NATIVE_TOKENIZER"):
+        return None
+    lib = _load_native()
+    if lib is None:
+        return None
+    try:
+        return _NativeMerger(lib, tok)
+    except Exception:
+        return None

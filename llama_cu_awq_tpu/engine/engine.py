@@ -1,0 +1,301 @@
+"""Single-sequence inference engine: generate / chat / perplexity.
+
+The TPU-native counterpart of the reference's driver layer
+(llama2_q4.cu:436-720 + perplexity.h). Differences by design:
+
+- The per-token step is one jitted function (embedding -> all layers ->
+  logits -> sampling) with the KV cache donated, so XLA compiles the
+  whole token loop once per attention bucket — the role CUDA graphs +
+  the pinned-memory mailbox play in the reference (llama2_q4.cu:342-372,
+  common.h:50-54). Attention-length buckets double from 128 up to the
+  model's seq_len, mirroring the reference's MAX_GRAPHS=8 seq-len bins.
+- Prompts are prefilled in parallel blocks (the reference feeds prompts
+  one token per step); sampling-RNG parity is preserved by consuming one
+  xorshift coin per covered step, exactly like the reference's per-step
+  draw (sampler.h:45).
+- Host/device overlap comes from JAX async dispatch: the next step is
+  enqueued before the previous token is read for printing
+  (llama2_q4.cu:466-470's overlap note).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_cu_awq_tpu.config import ModelConfig
+from llama_cu_awq_tpu.models.llama import (
+    KVCache,
+    LlamaParams,
+    forward,
+    init_kv_cache,
+)
+from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
+from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN, Tokenizer
+
+PREFILL_BLOCK = 128
+
+
+def attn_buckets(seq_len: int, first: int = 128, n_bins: int = 8):
+    """Seq-len bins like the reference's graph bins (llama2_q4.cu:354-360)."""
+    bins = []
+    b = first
+    for _ in range(n_bins - 1):
+        if b >= seq_len:
+            break
+        bins.append(b)
+        b *= 2
+    bins.append(seq_len)
+    return bins
+
+
+class InferenceEngine:
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 tokenizer: Tokenizer | None = None, *,
+                 act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
+                 max_seq: int | None = None, temperature: float = 0.5,
+                 topp: float = 0.6, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.act_dtype = act_dtype
+        self.matmul_impl = matmul_impl
+        self.max_seq = max_seq or cfg.seq_len
+        self.temperature = temperature
+        self.topp = topp
+        self.rng = XorshiftRNG(seed)
+        self._buckets = attn_buckets(self.max_seq)
+        self.cache = init_kv_cache(cfg, 1, self.max_seq, dtype=act_dtype)
+        self.pos = 0  # persists across chat turns (llama2_q4.cu:526-527)
+
+    # ------------------------------------------------------------------
+    # jitted step functions (compiled per attention bucket)
+
+    def _bucket_for(self, seq: int) -> int:
+        for b in self._buckets:
+            if seq <= b:
+                return b
+        return self._buckets[-1]
+
+    @functools.cached_property
+    def _decode_fn(self):
+        @functools.partial(
+            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+        def step(params, token, pos, cache, coin, *, attn_len):
+            logits, cache = forward(
+                params, self.cfg, token[:, None], pos, cache,
+                attn_len=attn_len, act_dtype=self.act_dtype,
+                matmul_impl=self.matmul_impl)
+            nxt = sample_token(logits, coin, self.temperature, self.topp)
+            return nxt[:, 0] if nxt.ndim > 1 else nxt, logits, cache
+
+        return step
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        @functools.partial(
+            jax.jit, static_argnames=("block", "attn_len", "logits_all"),
+            donate_argnames=("cache",))
+        def prefill(params, tokens, pos, cache, *, block, attn_len,
+                    logits_all):
+            logits, cache = forward(
+                params, self.cfg, tokens, pos, cache, attn_len=attn_len,
+                act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
+                logits_all=logits_all)
+            return logits, cache
+
+        return prefill
+
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        self.cache = init_kv_cache(self.cfg, 1, self.max_seq,
+                                   dtype=self.act_dtype)
+        self.pos = 0
+
+    def _prefill(self, tokens: list[int], *, collect_logits: bool = False):
+        """Feed prompt tokens at the current position in blocks.
+
+        Returns f32 logits: (vocab,) for the last fed token, or
+        (len(tokens), vocab) when collect_logits (perplexity mode).
+        """
+        assert tokens
+        out_logits = []
+        i = 0
+        last_logits = None
+        while i < len(tokens):
+            chunk = tokens[i:i + PREFILL_BLOCK]
+            block = 1 if len(chunk) == 1 else PREFILL_BLOCK
+            if self.pos + block > self.max_seq:
+                # padded block would clamp the dynamic cache write near the
+                # boundary and corrupt earlier rows; fall back to single steps
+                block, chunk = 1, tokens[i:i + 1]
+            padded = chunk + [0] * (block - len(chunk))
+            attn_len = self._bucket_for(self.pos + block)
+            logits, self.cache = self._prefill_fn(
+                self.params, jnp.asarray([padded], jnp.int32),
+                jnp.asarray([self.pos], jnp.int32), self.cache,
+                block=block, attn_len=attn_len, logits_all=True)
+            if collect_logits:
+                out_logits.append(np.asarray(logits[0, :len(chunk)]))
+            last_logits = logits[0, len(chunk) - 1]
+            self.pos += len(chunk)
+            i += len(chunk)
+        if collect_logits:
+            return np.concatenate(out_logits, axis=0)
+        return last_logits
+
+    def _consume_coins(self, n: int):
+        """Keep xorshift stream parity with the reference's one-coin-per-
+        step draw during teacher-forced steps (sampler.h:45)."""
+        for _ in range(n):
+            self.rng.random_f32()
+
+    # ------------------------------------------------------------------
+    # generate mode (llama2_q4.cu:436-492)
+
+    def generate(self, prompt: str, steps: int | None = None,
+                 on_piece=None, echo: bool = True):
+        """Greedy/sampled generation. Returns (text, stats dict)."""
+        tok = self.tokenizer
+        prompt_tokens = tok.encode(prompt or "", bos=True, eos=False)
+        if not prompt_tokens:
+            raise ValueError("expected at least 1 prompt token")
+        steps = self._clamp_steps(steps)
+
+        self.reset()
+        start = time.time()
+        # prompt phase: the reference teacher-forces these steps one by one;
+        # we prefill in blocks and burn the matching number of coins
+        n_pref = min(len(prompt_tokens), steps)
+        consumed = 0
+        if n_pref > 1:
+            self._prefill(prompt_tokens[:n_pref - 1])
+            self._consume_coins(n_pref - 1)
+            consumed = n_pref - 1
+        pieces = []
+        if echo:
+            # the reference echoes prompt tokens as it processes them
+            # (llama2_q4.cu:472-477 with pos < num_prompt_tokens)
+            for i in range(1, n_pref):
+                piece = tok.safe_piece(
+                    tok.decode(prompt_tokens[i - 1], prompt_tokens[i]))
+                if on_piece:
+                    on_piece(piece)
+                pieces.append(piece)
+
+        token = prompt_tokens[n_pref - 1]
+        n_gen = 0
+        pos = consumed
+        prev_token = token
+        token_arr = jnp.asarray([token], jnp.int32)
+        while pos < steps:
+            coin = jnp.asarray([self.rng.random_f32()], jnp.float32)
+            attn_len = self._bucket_for(self.pos + 1)
+            token_arr, _, self.cache = self._decode_fn(
+                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
+                self.cache, coin, attn_len=attn_len)
+            self.pos += 1
+            pos += 1
+            if pos >= steps:
+                break
+            nxt = int(token_arr[0])
+            if nxt >= self.cfg.vocab_size:
+                nxt = 0  # skip garbage tokens (llama2_q4.cu:474)
+                token_arr = jnp.asarray([nxt], jnp.int32)
+            piece = tok.safe_piece(tok.decode(prev_token, nxt))
+            if on_piece:
+                on_piece(piece)
+            pieces.append(piece)
+            n_gen += 1
+            if nxt == EOS_TOKEN:
+                break
+            prev_token = nxt
+
+        dt = time.time() - start
+        timed = pos - 1
+        stats = {"tokens": timed, "seconds": dt,
+                 "tok_per_s": timed / dt if dt > 0 else float("inf"),
+                 "generated": n_gen}
+        return "".join(pieces), stats
+
+    def _clamp_steps(self, steps):
+        if not steps or steps <= 0 or steps > self.cfg.seq_len:
+            return self.cfg.seq_len
+        return steps
+
+    # ------------------------------------------------------------------
+    # chat mode (llama2_q4.cu:507-601)
+
+    def chat_turn(self, user_prompt: str, system_prompt: str | None = None,
+                  steps: int | None = None, on_piece=None) -> str:
+        """One assistant reply; KV cache and position persist across turns."""
+        tok = self.tokenizer
+        steps = self._clamp_steps(steps)
+        # Llama-2 chat schema rendering (llama2_q4.cu:555-562)
+        if self.pos == 0 and system_prompt:
+            rendered = (f"[INST] <<SYS>>\n{system_prompt}\n<</SYS>>\n\n"
+                        f"{user_prompt} [/INST]")
+        else:
+            rendered = f"[INST] {user_prompt} [/INST]"
+        prompt_tokens = tok.encode(rendered, bos=True, eos=False)
+
+        if self.pos + len(prompt_tokens) + 1 >= min(steps, self.max_seq):
+            return ""  # context exhausted
+
+        self._prefill(prompt_tokens[:-1])
+        self._consume_coins(len(prompt_tokens) - 1)
+        token = prompt_tokens[-1]
+        token_arr = jnp.asarray([token], jnp.int32)
+        prev = token
+        pieces = []
+        while self.pos < min(steps, self.max_seq) - 1:
+            coin = jnp.asarray([self.rng.random_f32()], jnp.float32)
+            attn_len = self._bucket_for(self.pos + 1)
+            token_arr, _, self.cache = self._decode_fn(
+                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
+                self.cache, coin, attn_len=attn_len)
+            self.pos += 1
+            nxt = int(token_arr[0])
+            if nxt == EOS_TOKEN:  # EOS ends the assistant turn
+                break
+            piece = tok.safe_piece(tok.decode(prev, nxt))
+            if on_piece:
+                on_piece(piece)
+            pieces.append(piece)
+            prev = nxt
+        return "".join(pieces)
+
+    def chat_loop(self, cli_user_prompt=None, cli_system_prompt=None,
+                  steps=None, input_fn=input, print_fn=None):
+        """Interactive chat REPL (llama2_q4.cu:529-601)."""
+        if print_fn is None:
+            def print_fn(s, end="\n"):
+                print(s, end=end)
+                sys.stdout.flush()
+
+        first = True
+        while True:
+            if first and cli_system_prompt is None:
+                system_prompt = input_fn("Enter system prompt (optional): ")
+            else:
+                system_prompt = cli_system_prompt if first else None
+            if first and cli_user_prompt is not None:
+                user_prompt = cli_user_prompt
+            else:
+                try:
+                    user_prompt = input_fn("User: ")
+                except EOFError:
+                    return
+            first = False
+            print_fn("Assistant: ", end="")
+            reply = self.chat_turn(user_prompt, system_prompt, steps,
+                                   on_piece=lambda p: print_fn(p, end=""))
+            print_fn("")
+            if self.pos >= min(self._clamp_steps(steps), self.max_seq) - 1:
+                return

@@ -87,9 +87,14 @@ def main(argv=None) -> int:
 
     ckpt = load_checkpoint(args.checkpoint, verbose=True)
     act_dtype = jnp.dtype(args.act_dtype)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # kernel (pair-planar) layout whenever the Pallas path may run
+    tpu_layout = args.matmul_impl == "pallas" or (
+        args.matmul_impl in (None, "auto") and on_tpu)
     print("\nLoading Weights... ", end="", flush=True)
     params = params_from_checkpoint(
-        ckpt, param_dtype=None if args.act_dtype == "float16" else act_dtype)
+        ckpt, param_dtype=None if args.act_dtype == "float16" else act_dtype,
+        tpu_layout=tpu_layout)
     print("done!")
 
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)

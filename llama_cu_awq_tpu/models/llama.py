@@ -30,37 +30,53 @@ from llama_cu_awq_tpu.io.checkpoint import RawCheckpoint, RawQWeight
 from llama_cu_awq_tpu.ops.linear import dense_matmul, qmatmul
 from llama_cu_awq_tpu.ops.norms import rmsnorm
 from llama_cu_awq_tpu.ops.rope import apply_rope
-from llama_cu_awq_tpu.quant.qtensor import QTensor, index_qtensor
+from llama_cu_awq_tpu.quant.packing import PLANAR_BLOCK, pad_group_rows, to_planar
+from llama_cu_awq_tpu.quant.qtensor import QTensor, QTensorTPU
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LlamaLayer:
+    """One decoder layer (PerLayerWeight, common.h:26-36) with the
+    reference's fused-kernel groupings folded into the layout: wqkv is
+    q|k|v concatenated along n_out (the analog of qkv_matvec_kernel,
+    gpu_kernels.h:242-254) and w_gate_up is gate|up (the analog of
+    ffn_matvec_silu_kernel, gpu_kernels.h:256-275)."""
+
+    attn_norm: jax.Array   # (dim,) f32
+    ffn_norm: jax.Array    # (dim,) f32
+    wqkv: QTensor          # (dim, dim + 2*kv_dim)
+    wo: QTensor            # (dim, dim)
+    w_gate_up: QTensor     # (dim, 2*hidden)
+    w_down: QTensor        # (hidden, dim)
+
+    def tree_flatten(self):
+        return ((self.attn_norm, self.ffn_norm, self.wqkv, self.wo,
+                 self.w_gate_up, self.w_down), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LlamaParams:
-    """Model weights as a pytree; per-layer tensors stacked on axis 0.
-
-    Mirrors TransformerWeights/PerLayerWeight (common.h:26-48) with the
-    reference's fused-kernel groupings folded into the layout: wqkv is
-    q|k|v concatenated along n_out (the analog of qkv_matvec_kernel,
-    gpu_kernels.h:242-254) and w_gate_up is gate|up (the analog of
-    ffn_matvec_silu_kernel, gpu_kernels.h:256-275).
-    """
+    """Model weights as a pytree; layers kept as SEPARATE per-layer
+    arrays (not stacked) so the unrolled layer loop feeds weights to
+    the Pallas kernels with zero copies — a stacked layout would force
+    XLA to materialize a dynamic-slice of every layer's weights each
+    step, doubling HBM traffic. Mirrors TransformerWeights
+    (common.h:38-48)."""
 
     embed: jax.Array       # (vocab, dim) fp16 — token_embedding_table
     lm_head: jax.Array     # (vocab, dim) fp16 — wcls
     final_norm: jax.Array  # (dim,) f32
-    attn_norm: jax.Array   # (L, dim) f32
-    ffn_norm: jax.Array    # (L, dim) f32
-    wqkv: QTensor          # (L) x (dim, dim + 2*kv_dim)
-    wo: QTensor            # (L) x (dim, dim)
-    w_gate_up: QTensor     # (L) x (dim, 2*hidden)
-    w_down: QTensor        # (L) x (hidden, dim)
+    layers: list           # [LlamaLayer]
 
     def tree_flatten(self):
-        return (
-            (self.embed, self.lm_head, self.final_norm, self.attn_norm,
-             self.ffn_norm, self.wqkv, self.wo, self.w_gate_up, self.w_down),
-            None,
-        )
+        return ((self.embed, self.lm_head, self.final_norm, self.layers),
+                None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -68,89 +84,117 @@ class LlamaParams:
 
 
 class KVCache(NamedTuple):
-    """(L, B, max_seq, n_kv_heads, head_dim) — reference: common.h:65-66."""
+    """Per-layer lists of (B, max_seq, n_kv_heads, head_dim) buffers
+    (reference: common.h:65-66); kept unstacked for the same zero-copy
+    reason as the weights."""
 
-    k: jax.Array
-    v: jax.Array
+    k: list
+    v: list
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    return KVCache([jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+                   [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)])
 
 
 # ---------------------------------------------------------------------------
 # parameter construction
 
-def _stack_q(raws: list[list[RawQWeight]]) -> QTensor:
-    """raws: per layer, a list of RawQWeights to concat along n_out."""
-    qw = np.stack([np.concatenate([r.qw for r in row], axis=1)
-                   for row in raws])
-    zeros = np.stack([np.concatenate([r.zeros for r in row], axis=1)
-                      for row in raws])
-    scales = np.stack([np.concatenate([r.scales for r in row], axis=1)
-                       for row in raws])
-    n_in = raws[0][0].n_in
-    n_out = sum(r.n_out for r in raws[0])
-    return QTensor(jnp.asarray(qw), jnp.asarray(zeros), jnp.asarray(scales),
-                   n_in, n_out)
+def _fuse_q(row: list[RawQWeight], tpu_layout: bool):
+    """Concat a list of RawQWeights along n_out into one device QTensor."""
+    qw = np.concatenate([r.qw for r in row], axis=1)
+    zeros = np.concatenate([r.zeros for r in row], axis=1)
+    scales = np.concatenate([r.scales for r in row], axis=1)
+    n_in = row[0].n_in
+    n_out = sum(r.n_out for r in row)
+    if not tpu_layout:
+        return QTensor(jnp.asarray(qw), jnp.asarray(zeros),
+                       jnp.asarray(scales), n_in, n_out)
+    planar = to_planar(qw, n_in)
+    s_pad = pad_group_rows(scales, n_in)
+    zs_pad = pad_group_rows((zeros.astype(np.float32) + 128.0) * scales, n_in)
+    return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
+                      jnp.asarray(zs_pad), n_in, n_out)
 
 
-def params_from_checkpoint(ckpt: RawCheckpoint,
-                           param_dtype=None) -> LlamaParams:
+def params_from_checkpoint(ckpt: RawCheckpoint, param_dtype=None,
+                           tpu_layout: bool = False) -> LlamaParams:
     """Build device-resident params from a loaded .bin checkpoint.
 
     param_dtype: storage dtype for embed/lm_head. None keeps the
     checkpoint's fp16 (bit-exact); bf16 is the TPU-native choice (2
     mantissa bits below fp16, MXU-direct).
+    tpu_layout: repack quantized tensors into the planar Pallas-kernel
+    layout (QTensorTPU) instead of the canonical QTensor.
     """
     def _p(a):
         return jnp.asarray(a) if param_dtype is None else jnp.asarray(
             a, param_dtype)
 
+    layers = [
+        LlamaLayer(
+            attn_norm=jnp.asarray(l.attn_norm, jnp.float32),
+            ffn_norm=jnp.asarray(l.ffn_norm, jnp.float32),
+            wqkv=_fuse_q([l.wq, l.wk, l.wv], tpu_layout),
+            wo=_fuse_q([l.wo], tpu_layout),
+            w_gate_up=_fuse_q([l.w_gate, l.w_up], tpu_layout),
+            w_down=_fuse_q([l.w_down], tpu_layout),
+        )
+        for l in ckpt.layers
+    ]
     return LlamaParams(
         embed=_p(ckpt.embed),
         lm_head=_p(ckpt.lm_head),
         final_norm=jnp.asarray(ckpt.final_norm, jnp.float32),
-        attn_norm=jnp.asarray(
-            np.stack([l.attn_norm for l in ckpt.layers]), jnp.float32),
-        ffn_norm=jnp.asarray(
-            np.stack([l.ffn_norm for l in ckpt.layers]), jnp.float32),
-        wqkv=_stack_q([[l.wq, l.wk, l.wv] for l in ckpt.layers]),
-        wo=_stack_q([[l.wo] for l in ckpt.layers]),
-        w_gate_up=_stack_q([[l.w_gate, l.w_up] for l in ckpt.layers]),
-        w_down=_stack_q([[l.w_down] for l in ckpt.layers]),
+        layers=layers,
     )
 
 
-def synthetic_params(cfg: ModelConfig, seed: int = 0) -> LlamaParams:
+def synthetic_params(cfg: ModelConfig, seed: int = 0,
+                     tpu_layout: bool = True) -> LlamaParams:
     """Random weights generated directly on device (benchmarks at 7B scale
     without a checkpoint on disk)."""
     key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 8)
-    L, dim, kv, hid, vocab = (cfg.n_layers, cfg.dim, cfg.kv_dim,
-                              cfg.hidden_dim, cfg.vocab_size)
+    ks = jax.random.split(key, 2 + cfg.n_layers)
+    dim, kv, hid, vocab = cfg.dim, cfg.kv_dim, cfg.hidden_dim, cfg.vocab_size
 
     def q(key, n_in, n_out):
         k1, k2, k3 = jax.random.split(key, 3)
-        qw = jax.random.bits(k1, (L, n_in // 8, n_out), jnp.uint32)
-        zeros = jax.random.randint(k2, (L, -(-n_in // 128), n_out), 0, 16,
+        if tpu_layout:
+            n_pad = -(-n_in // PLANAR_BLOCK) * PLANAR_BLOCK
+            g, g_pad = -(-n_in // 128), n_pad // 128
+            qw = jax.random.bits(k1, (n_pad // 8, n_out), jnp.uint32)
+            scales = 0.01 * (1.0 + 0.1 * jax.random.normal(
+                k3, (g_pad, n_out), jnp.float32))
+            valid = (jnp.arange(g_pad) < g)[:, None]
+            scales = jnp.where(valid, scales, 0.0)
+            zs = scales * (8.0 + 128.0)  # zero point 8 + the bf16-bias 128
+            return QTensorTPU(qw, scales, zs, n_in, n_out)
+        qw = jax.random.bits(k1, (n_in // 8, n_out), jnp.uint32)
+        zeros = jax.random.randint(k2, (-(-n_in // 128), n_out), 0, 16,
                                    jnp.int8)
-        scales = jnp.full((L, -(-n_in // 128), n_out), 0.01, jnp.float32) * (
-            1.0 + 0.1 * jax.random.normal(k3, (L, -(-n_in // 128), n_out)))
+        scales = jnp.full((-(-n_in // 128), n_out), 0.01, jnp.float32) * (
+            1.0 + 0.1 * jax.random.normal(k3, (-(-n_in // 128), n_out)))
         return QTensor(qw, zeros, scales, n_in, n_out)
+
+    def layer(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return LlamaLayer(
+            attn_norm=jnp.ones((dim,), jnp.float32),
+            ffn_norm=jnp.ones((dim,), jnp.float32),
+            wqkv=q(k1, dim, dim + 2 * kv),
+            wo=q(k2, dim, dim),
+            w_gate_up=q(k3, dim, 2 * hid),
+            w_down=q(k4, hid, dim),
+        )
 
     return LlamaParams(
         embed=jax.random.normal(ks[0], (vocab, dim), jnp.float16) * 0.02,
         lm_head=jax.random.normal(ks[1], (vocab, dim), jnp.float16) * 0.02,
         final_norm=jnp.ones((dim,), jnp.float32),
-        attn_norm=jnp.ones((L, dim), jnp.float32),
-        ffn_norm=jnp.ones((L, dim), jnp.float32),
-        wqkv=q(ks[2], dim, dim + 2 * kv),
-        wo=q(ks[3], dim, dim),
-        w_gate_up=q(ks[4], dim, 2 * hid),
-        w_down=q(ks[5], hid, dim),
+        layers=[layer(ks[2 + i]) for i in range(cfg.n_layers)],
     )
 
 
@@ -215,50 +259,43 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     (B, vocab) for the last position.
     """
     B, T = tokens.shape
-    A = attn_len or cache.k.shape[2]
+    A = attn_len or cache.k[0].shape[1]
     H, D, KV = cfg.n_heads, cfg.head_dim, cfg.n_kv_heads
 
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
 
-    def layer(x, inputs):
-        (attn_norm, ffn_norm, wqkv, wo, w_gate_up, w_down,
-         k_cache_l, v_cache_l) = inputs
+    # unrolled layer loop: per-layer weights/caches are separate arrays,
+    # so Pallas kernels and attention read them with zero copies (a
+    # lax.scan over stacked tensors would materialize a dynamic-slice of
+    # every layer's weights each step — ~2x HBM traffic)
+    new_k, new_v = [], []
+    for l, layer in enumerate(params.layers):
         # --- attention block ---
-        xb = rmsnorm(x, attn_norm)
-        qkv = qmatmul(xb, wqkv, matmul_impl).astype(act_dtype)
+        xb = rmsnorm(x, layer.attn_norm)
+        qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
         qh, kh, vh = jnp.split(qkv, [cfg.dim, cfg.dim + cfg.kv_dim], axis=-1)
         qh = qh.reshape(B, T, H, D)
         kh = kh.reshape(B, T, KV, D)
         vh = vh.reshape(B, T, KV, D)
         qh = apply_rope(qh, positions, cfg.rope_theta)
         kh = apply_rope(kh, positions, cfg.rope_theta)
-        k_cache_l = _update_cache(k_cache_l, kh, pos)
-        v_cache_l = _update_cache(v_cache_l, vh, pos)
+        k_cache_l = _update_cache(cache.k[l], kh, pos)
+        v_cache_l = _update_cache(cache.v[l], vh, pos)
+        new_k.append(k_cache_l)
+        new_v.append(v_cache_l)
         attn = _attention(qh, k_cache_l[:, :A], v_cache_l[:, :A], pos, cfg,
                           act_dtype).astype(act_dtype)
         # o-proj with fused residual accumulate (llama2_q4.cu:323)
-        x = (qmatmul(attn, wo, matmul_impl)
+        x = (qmatmul(attn, layer.wo, matmul_impl)
              + x.astype(jnp.float32)).astype(act_dtype)
         # --- FFN block ---
-        xb = rmsnorm(x, ffn_norm)
-        gu = qmatmul(xb, w_gate_up, matmul_impl)
+        xb = rmsnorm(x, layer.ffn_norm)
+        gu = qmatmul(xb, layer.w_gate_up, matmul_impl)
         g, u = jnp.split(gu, 2, axis=-1)
         h = (g * jax.nn.sigmoid(g) * u).astype(act_dtype)  # SiLU(g)*u, f32
-        x = (qmatmul(h, w_down, matmul_impl)
+        x = (qmatmul(h, layer.w_down, matmul_impl)
              + x.astype(jnp.float32)).astype(act_dtype)
-        return x, (k_cache_l, v_cache_l)
-
-    # scan over layers with stacked params + per-layer cache slices
-    L = cfg.n_layers
-    xs = (params.attn_norm, params.ffn_norm,
-          params.wqkv, params.wo, params.w_gate_up, params.w_down,
-          cache.k, cache.v)
-
-    def scan_body(x, per_layer):
-        return layer(x, per_layer)
-
-    x, (new_k, new_v) = lax.scan(scan_body, x, xs)
 
     x = rmsnorm(x, params.final_norm)
     if not logits_all:

@@ -21,7 +21,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from llama_cu_awq_tpu.quant.qtensor import QTensor, dequant_expand
+from llama_cu_awq_tpu.quant.qtensor import (
+    QTensor,
+    QTensorTPU,
+    dequant_expand,
+)
 
 _DEFAULT_IMPL = "auto"
 
@@ -40,25 +44,25 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pallas_ok(qt: QTensor) -> bool:
-    # lane dim must be 128-aligned and rows 8-aligned for the TPU kernel
-    return qt.n_out % 128 == 0 and qt.n_in % 256 == 0
-
-
-def qmatmul(x: jax.Array, qt: QTensor, impl: str | None = None) -> jax.Array:
+def qmatmul(x: jax.Array, qt, impl: str | None = None) -> jax.Array:
     """x: (..., n_in) -> (..., n_out), f32 accumulation, f32 result.
 
     Dequantization numerics match gpu_kernels.h:196-197: per element
-    w = (q - z) * s in f32.
+    w = (q - z) * s in f32. Accepts either layout: QTensorTPU routes to
+    the fused Pallas kernel (interpret mode off-TPU when forced),
+    QTensor to the dense dequant oracle.
     """
     impl = impl or _DEFAULT_IMPL
-    if impl == "auto":
-        impl = "pallas" if (_on_tpu() and _pallas_ok(qt)) else "dequant"
-    if impl == "pallas":
-        from llama_cu_awq_tpu.ops.pallas.int4_matmul import int4_matmul
+    if isinstance(qt, QTensorTPU):
+        if impl == "auto":
+            impl = "pallas" if _on_tpu() else "dequant"
+        if impl == "pallas":
+            from llama_cu_awq_tpu.ops.pallas.int4_matmul import int4_matmul
 
-        return int4_matmul(x, qt)
-    w = dequant_expand(qt.qw, qt.zeros, qt.scales, qt.n_in)
+            return int4_matmul(x, qt, interpret=not _on_tpu())
+        w = qt.dequantize(jnp.float32)
+    else:
+        w = dequant_expand(qt.qw, qt.zeros, qt.scales, qt.n_in)
     # HIGHEST precision: this is the parity oracle; the perf path is pallas
     return jnp.dot(x.astype(jnp.float32), w,
                    preferred_element_type=jnp.float32,

@@ -116,6 +116,67 @@ def dequantize_np(qw: np.ndarray, zeros: np.ndarray, scales: np.ndarray,
     return (q - z) * s
 
 
+# ---------------------------------------------------------------------------
+# TPU kernel ("pair-planar") layout.
+#
+# The Pallas int4 matmul consumes chunks of PLANAR_BLOCK=512 input rows
+# (64 packed words). Within a chunk, nibble pair (p, p+4) of word row y
+# (0 <= y < 64) holds logical rows chunk*512 + p*128 + 2y and ... + 2y+1.
+# Why: bits 4p and 4p+16 are exactly 16 apart, so ONE shift+mask
+# (w >> 4p) & 0x000F000F extracts both nibbles into the two 16-bit
+# halves of the word; OR-ing 0x4300_4300 turns each half into the bf16
+# bit pattern of (128 + q) (exact: 128+q needs 8 mantissa bits, bf16 has
+# 8); a free bitcast u32(64,d) -> bf16(128,d) then lands the two rows in
+# hardware-interleaved order (row 2y = low half, 2y+1 = high half) —
+# which this layout makes exactly one contiguous 128-row quantization
+# group. Per pair-plane the kernel does just 3 VPU ops (shift, and, or)
+# for 2 weights, then one MXU dot:
+#   out += (x_g @ (q_g + 128)) * s_g - sum(x_g) * ((z_g + 128) * s_g)
+# == sum x*(q-z)*s exactly (algebraically; f32 accumulation).
+
+PLANAR_BLOCK = 512  # 4 nibble-pair planes x 128-row groups
+_PAIR_BIAS = 128    # folded into the zero term: zs = (z + 128) * s
+
+
+def planar_pad(n: int) -> int:
+    return div_up(n, PLANAR_BLOCK) * PLANAR_BLOCK
+
+
+def to_planar(qw: np.ndarray, n: int) -> np.ndarray:
+    """Canonical packed (ceil(n/8), d) -> pair-planar packed (n_pad/8, d)."""
+    d = qw.shape[1]
+    q = np.zeros((planar_pad(n), d), dtype=np.uint32)
+    q[:n] = unpack_nibbles(qw, n).astype(np.uint32)
+    c = planar_pad(n) // PLANAR_BLOCK
+    # q[c, p, y, h, d]: chunk, pair-plane, word row, half
+    q = q.reshape(c, 4, 64, 2, d)
+    words = np.zeros((c, 64, d), dtype=np.uint32)
+    for p in range(4):
+        words |= q[:, p, :, 0, :] << np.uint32(4 * p)         # nibble p
+        words |= q[:, p, :, 1, :] << np.uint32(4 * p + 16)    # nibble p+4
+    return words.reshape(c * 64, d)
+
+
+def from_planar(qw_planar: np.ndarray, n: int) -> np.ndarray:
+    """Pair-planar packed (n_pad/8, d) -> unpacked int8 (n, d)."""
+    rows, d = qw_planar.shape
+    c = rows // 64
+    w = qw_planar.reshape(c, 64, d)
+    out = np.empty((c, 4, 64, 2, d), dtype=np.int8)
+    for p in range(4):
+        out[:, p, :, 0, :] = (w >> np.uint32(4 * p)) & 0xF
+        out[:, p, :, 1, :] = (w >> np.uint32(4 * p + 16)) & 0xF
+    return out.reshape(c * PLANAR_BLOCK, d)[:n]
+
+
+def pad_group_rows(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad per-group metadata (g, d) to planar group count (n_pad/128, d)."""
+    g_pad = planar_pad(n) // GROUP_SIZE
+    out = np.zeros((g_pad,) + arr.shape[1:], dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
 def quantize_np(w: np.ndarray, group_size: int = GROUP_SIZE):
     """Simple AWQ-style asymmetric w4 quantizer (for tests & synthetic models).
 

@@ -89,6 +89,68 @@ def dequant_expand(qw: jax.Array, zeros: jax.Array, scales: jax.Array,
     return (q - z) * s
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensorTPU:
+    """Packed 4-bit weight in the TPU kernel ("planar") layout.
+
+    qw:     uint32 (n_pad/8, n_out) — see packing.to_planar (pair-planar)
+    scales: float32 (n_pad/128, n_out)
+    zs:     float32 (n_pad/128, n_out) — precomputed (zero + 128) * scale
+            (the +128 cancels the bf16 exponent-bias trick in the kernel)
+
+    Padding groups have scale == zs == 0, so padded rows contribute
+    nothing regardless of the (padded) activation values.
+    """
+
+    qw: jax.Array
+    scales: jax.Array
+    zs: jax.Array
+    n_in: int
+    n_out: int
+
+    def tree_flatten(self):
+        return (self.qw, self.scales, self.zs), (self.n_in, self.n_out)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.n_in, self.n_out)
+
+    @property
+    def n_pad(self) -> int:
+        return self.qw.shape[-2] * 8
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Dense (n_in, n_out) weight from the pair-planar layout
+        (oracle/CPU fallback path): w = (q + 128)*s - zs."""
+        rows, d = self.qw.shape[-2], self.qw.shape[-1]
+        c = rows // 64
+        w = self.qw.reshape(c, 1, 64, 1, d)
+        shifts = (4 * jnp.arange(4, dtype=jnp.uint32)).reshape(1, 4, 1, 1, 1)
+        halves = jnp.concatenate(
+            [(w >> shifts) & jnp.uint32(0xF),
+             (w >> (shifts + 16)) & jnp.uint32(0xF)], axis=3)
+        q = halves.astype(jnp.float32).reshape(c * 4 * 64 * 2, d)[: self.n_in]
+        gidx = jnp.arange(self.n_in) // GROUP_SIZE
+        return ((q + 128.0) * self.scales[gidx] - self.zs[gidx]).astype(dtype)
+
+
+def to_tpu_layout(qt: QTensor) -> QTensorTPU:
+    """Repack a canonical QTensor into the planar kernel layout (host)."""
+    qw = np.asarray(qt.qw)
+    zeros = np.asarray(qt.zeros).astype(np.float32)
+    scales = np.asarray(qt.scales)
+    planar = packing.to_planar(qw, qt.n_in)
+    s_pad = packing.pad_group_rows(scales, qt.n_in)
+    zs_pad = packing.pad_group_rows((zeros + 128.0) * scales, qt.n_in)
+    return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
+                      jnp.asarray(zs_pad), qt.n_in, qt.n_out)
+
+
 def concat_qtensors(tensors: list[QTensor]) -> QTensor:
     """Concatenate along n_out (fused qkv / gate-up layouts).
 

@@ -100,4 +100,5 @@ def test_synthetic_params_forward_runs(tiny_config):
                              matmul_impl="dequant")
     assert logits.shape == (1, cfg.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
-    assert cache2.k.shape == cache.k.shape
+    assert len(cache2.k) == len(cache.k)
+    assert cache2.k[0].shape == cache.k[0].shape

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: 7B w4-g128 batch-1 greedy decode tokens/s on one
+TPU chip, mirroring the reference's headline config (Llama-2-7B AWQ,
+-n 256; ~200 tok/s on RTX 4090, /root/reference/README.md:86,111).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N/200.787}
+
+No AWQ checkpoint ships with this repo, so weights are synthetic random
+packed tensors at the exact 7B shapes — decode is weight-bandwidth-bound,
+so tokens/s is independent of weight values.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_TOK_S = 200.787402  # reference transcript (README.md:111)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="7b", choices=["7b", "13b", "tiny"])
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--prompt-len", type=int, default=8)
+    ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument("--chunk-size", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/llama_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from llama_cu_awq_tpu.config import LLAMA2_7B, LLAMA2_13B, ModelConfig
+    from llama_cu_awq_tpu.engine import InferenceEngine
+    from llama_cu_awq_tpu.models import synthetic_params
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    log(f"platform: {platform}, devices: {jax.devices()}")
+
+    if args.config == "7b":
+        cfg = LLAMA2_7B
+    elif args.config == "13b":
+        cfg = LLAMA2_13B
+    else:
+        cfg = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=4,
+                          n_kv_heads=4, vocab_size=512, seq_len=512)
+    max_seq = args.max_seq or min(512, cfg.seq_len)
+
+    log(f"building synthetic {args.config} params "
+        f"(tpu_layout={on_tpu})...")
+    t0 = time.time()
+    params = synthetic_params(cfg, seed=0, tpu_layout=on_tpu)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    log(f"params ready in {time.time()-t0:.1f}s")
+
+    engine = InferenceEngine(
+        params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
+        matmul_impl="pallas" if on_tpu else "dequant",
+        max_seq=max_seq, temperature=0.0, seed=1234,
+        chunk_size=args.chunk_size)
+
+    prompt = list(range(5, 5 + args.prompt_len))
+    steps = min(args.steps, max_seq - 2)
+
+    log("warmup (compiles prefill + decode buckets)...")
+    t0 = time.time()
+    engine.generate_benchmark(prompt, steps)
+    log(f"warmup done in {time.time()-t0:.1f}s")
+
+    best = 0.0
+    for i in range(args.repeats):
+        tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
+        log(f"run {i}: {len(tokens)} generated, {steps-1} timed steps "
+            f"in {dt:.3f}s -> {tok_s:.2f} tok/s")
+        best = max(best, tok_s)
+
+    result = {
+        "metric": f"decode_tok_s_{args.config}_w4g128_b1",
+        "value": round(best, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(best / BASELINE_TOK_S, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,7 @@ class InferenceEngine:
                  tokenizer: Tokenizer | None = None, *,
                  act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
                  max_seq: int | None = None, temperature: float = 0.5,
-                 topp: float = 0.6, seed: int = 0):
+                 topp: float = 0.6, seed: int = 0, chunk_size: int = 16):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -69,6 +69,7 @@ class InferenceEngine:
         self.temperature = temperature
         self.topp = topp
         self.rng = XorshiftRNG(seed)
+        self.chunk_size = chunk_size
         self._buckets = attn_buckets(self.max_seq)
         self.cache = init_kv_cache(cfg, 1, self.max_seq, dtype=act_dtype)
         self.pos = 0  # persists across chat turns (llama2_q4.cu:526-527)
@@ -95,6 +96,36 @@ class InferenceEngine:
             return nxt[:, 0] if nxt.ndim > 1 else nxt, logits, cache
 
         return step
+
+    @functools.cached_property
+    def _decode_chunk_fn(self):
+        """K sampled decode steps fully on device (one lax.scan inside one
+        jit): the sampled token feeds the next step's embedding lookup
+        without any host round-trip — the TPU analog of the reference's
+        GPU-only token feedback loop through the pinned SharedData
+        mailbox (common.h:50-54, gpu_kernels.h:486-491). The host syncs
+        once per chunk instead of once per token."""
+
+        @functools.partial(
+            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+        def chunk(params, token, pos, cache, coins, *, attn_len):
+            def body(carry, coin):
+                token, pos, cache = carry
+                logits, cache = forward(
+                    params, self.cfg, token[:, None], pos, cache,
+                    attn_len=attn_len, act_dtype=self.act_dtype,
+                    matmul_impl=self.matmul_impl)
+                nxt = sample_token(logits, coin, self.temperature, self.topp)
+                nxt = nxt[:, 0] if nxt.ndim > 1 else nxt
+                # garbage-token clamp (llama2_q4.cu:474)
+                nxt = jnp.where(nxt >= self.cfg.vocab_size, 0, nxt)
+                return (nxt, pos + 1, cache), nxt
+
+            (token, pos, cache), toks = jax.lax.scan(
+                body, (token, pos, cache), coins)
+            return toks, cache  # toks: (K, B)
+
+        return chunk
 
     @functools.cached_property
     def _prefill_fn(self):
@@ -189,40 +220,112 @@ class InferenceEngine:
                     on_piece(piece)
                 pieces.append(piece)
 
-        token = prompt_tokens[n_pref - 1]
+        prev_token = prompt_tokens[n_pref - 1]
+        token_arr = jnp.asarray([prev_token], jnp.int32)
+        generated, hit_eos = self._decode_tokens(token_arr,
+                                                 steps - n_pref + 1)
+
+        # the reference prints the token from the *previous* iteration, so
+        # the final generated token is never printed unless EOS stopped it
+        # earlier (llama2_q4.cu:465-482)
+        to_print = generated if hit_eos else generated[:-1]
         n_gen = 0
-        pos = consumed
-        prev_token = token
-        token_arr = jnp.asarray([token], jnp.int32)
-        while pos < steps:
-            coin = jnp.asarray([self.rng.random_f32()], jnp.float32)
-            attn_len = self._bucket_for(self.pos + 1)
-            token_arr, _, self.cache = self._decode_fn(
-                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
-                self.cache, coin, attn_len=attn_len)
-            self.pos += 1
-            pos += 1
-            if pos >= steps:
-                break
-            nxt = int(token_arr[0])
-            if nxt >= self.cfg.vocab_size:
-                nxt = 0  # skip garbage tokens (llama2_q4.cu:474)
-                token_arr = jnp.asarray([nxt], jnp.int32)
+        for nxt in to_print:
             piece = tok.safe_piece(tok.decode(prev_token, nxt))
             if on_piece:
                 on_piece(piece)
             pieces.append(piece)
             n_gen += 1
-            if nxt == EOS_TOKEN:
-                break
             prev_token = nxt
 
         dt = time.time() - start
-        timed = pos - 1
+        timed = consumed + len(generated) - 1
         stats = {"tokens": timed, "seconds": dt,
                  "tok_per_s": timed / dt if dt > 0 else float("inf"),
                  "generated": n_gen}
         return "".join(pieces), stats
+
+    def _decode_tokens(self, token_arr, max_steps: int,
+                       stop_at_eos: bool = True, on_token=None):
+        """Run up to max_steps sampled decode steps in device-resident
+        chunks; one host sync per chunk. Returns (tokens list, hit_eos).
+
+        On mid-chunk EOS the xorshift stream is rewound so exactly one
+        coin per executed step is consumed (reference stream parity,
+        sampler.h:45); cache rows written past EOS sit at positions
+        beyond self.pos and are masked/overwritten before any later use.
+        """
+        generated: list[int] = []
+        done = 0
+        while done < max_steps:
+            k = min(self.chunk_size, max_steps - done)
+            if self.pos + k > self.max_seq:
+                k = max(1, self.max_seq - self.pos)
+            snapshot = self.rng.state
+            coins = jnp.asarray(
+                [[self.rng.random_f32()] for _ in range(k)], jnp.float32)
+            attn_len = self._bucket_for(self.pos + k)
+            toks, self.cache = self._decode_chunk_fn(
+                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
+                self.cache, coins, attn_len=attn_len)
+            host = np.asarray(toks)[:, 0]  # the per-chunk host sync point
+            eos_idx = None
+            if stop_at_eos:
+                hits = np.nonzero(host == EOS_TOKEN)[0]
+                eos_idx = int(hits[0]) if hits.size else None
+            if eos_idx is not None:
+                used = eos_idx + 1
+                self.rng.state = snapshot  # one coin per executed step
+                for _ in range(used):
+                    self.rng.random_f32()
+                new = [int(t) for t in host[:used]]
+                generated.extend(new)
+                if on_token:
+                    on_token(new)
+                self.pos += used
+                return generated, True
+            new = [int(t) for t in host]
+            generated.extend(new)
+            if on_token:
+                on_token(new)
+            self.pos += k
+            done += k
+            token_arr = toks[-1]
+        return generated, False
+
+    def generate_benchmark(self, prompt_tokens: list[int], steps: int):
+        """Timed generation without per-chunk host syncs or text decoding:
+        prefill + device-chained decode chunks, ONE device_get at the end
+        (the relay/host sync is ~30 ms here, so syncing per token would
+        dominate). Returns (tokens list, seconds, tok_per_s) with the
+        reference's timed-token accounting (llama2_q4.cu:486-489)."""
+        self.reset()
+        start = time.time()
+        n_pref = min(len(prompt_tokens), steps)
+        if n_pref > 1:
+            self._prefill(prompt_tokens[:n_pref - 1])
+        token_arr = jnp.asarray([prompt_tokens[n_pref - 1]], jnp.int32)
+
+        outs = []
+        remaining = steps - n_pref + 1
+        while remaining > 0:
+            k = min(self.chunk_size, remaining)
+            if self.pos + k > self.max_seq:
+                k = max(1, self.max_seq - self.pos)
+            coins = jnp.asarray(
+                [[self.rng.random_f32()] for _ in range(k)], jnp.float32)
+            attn_len = self._bucket_for(self.pos + k)
+            toks, self.cache = self._decode_chunk_fn(
+                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
+                self.cache, coins, attn_len=attn_len)
+            outs.append(toks)
+            token_arr = toks[-1]
+            self.pos += k
+            remaining -= k
+        tokens = [int(t) for chunk in jax.device_get(outs) for t in chunk[:, 0]]
+        dt = time.time() - start
+        timed = steps - 1
+        return tokens, dt, timed / dt
 
     def _clamp_steps(self, steps):
         if not steps or steps <= 0 or steps > self.cfg.seq_len:
@@ -250,25 +353,23 @@ class InferenceEngine:
 
         self._prefill(prompt_tokens[:-1])
         self._consume_coins(len(prompt_tokens) - 1)
-        token = prompt_tokens[-1]
-        token_arr = jnp.asarray([token], jnp.int32)
-        prev = token
+        token_arr = jnp.asarray([prompt_tokens[-1]], jnp.int32)
+        prev = prompt_tokens[-1]
         pieces = []
-        while self.pos < min(steps, self.max_seq) - 1:
-            coin = jnp.asarray([self.rng.random_f32()], jnp.float32)
-            attn_len = self._bucket_for(self.pos + 1)
-            token_arr, _, self.cache = self._decode_fn(
-                self.params, token_arr, jnp.asarray([self.pos], jnp.int32),
-                self.cache, coin, attn_len=attn_len)
-            self.pos += 1
-            nxt = int(token_arr[0])
-            if nxt == EOS_TOKEN:  # EOS ends the assistant turn
-                break
-            piece = tok.safe_piece(tok.decode(prev, nxt))
-            if on_piece:
-                on_piece(piece)
-            pieces.append(piece)
-            prev = nxt
+        budget = min(steps, self.max_seq) - 1 - self.pos
+        state = {"prev": prev}
+
+        def emit(new_tokens):
+            for nxt in new_tokens:
+                if nxt == EOS_TOKEN:
+                    return
+                piece = tok.safe_piece(tok.decode(state["prev"], nxt))
+                if on_piece:
+                    on_piece(piece)
+                pieces.append(piece)
+                state["prev"] = nxt
+
+        self._decode_tokens(token_arr, budget, on_token=emit)
         return "".join(pieces)
 
     def chat_loop(self, cli_user_prompt=None, cli_system_prompt=None,

@@ -211,19 +211,20 @@ def _update_cache(cache_l: jax.Array, new: jax.Array,
     return jax.vmap(upd)(cache_l, new, pos)
 
 
-def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig,
-               act_dtype) -> jax.Array:
+def _attention(q, k_cache, v_cache, pos, act_dtype) -> jax.Array:
     """GQA attention over the cache slice (reference: MultiHeadAttention,
     llama2_q4.cu:267-284 + gpu_kernels.h:142-168,279-329,357-446).
 
     q: (B, T, H, D); caches: (B, A, Hkv, D) already containing the current
     block's keys/values; pos: (B,) first absolute position of the block.
+    Head counts come from the operand shapes so the same code serves
+    full and tensor-parallel (per-shard) views.
     """
     B, T, H, D = q.shape
-    A = k_cache.shape[1]
-    kv_mul = cfg.kv_mul
+    A, n_kv = k_cache.shape[1], k_cache.shape[2]
+    kv_mul = H // n_kv
     # operands stay in act_dtype (bf16 -> native MXU), f32 accumulation
-    qg = q.reshape(B, T, cfg.n_kv_heads, kv_mul, D)
+    qg = q.reshape(B, T, n_kv, kv_mul, D)
     # scores: (B, T, Hkv, kv_mul, A), f32 accumulation, 1/sqrt(D) scale
     scores = jnp.einsum("bthgd,bshd->bthgs", qg, k_cache,
                         preferred_element_type=jnp.float32)
@@ -247,7 +248,8 @@ def _attention(q, k_cache, v_cache, pos, cfg: ModelConfig,
 def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             pos: jax.Array, cache: KVCache, *, attn_len: int | None = None,
             act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
-            logits_all: bool = False):
+            logits_all: bool = False, tp_axis: str | None = None,
+            tp_size: int = 1):
     """Run the network over a token block.
 
     tokens: (B, T) int32; pos: (B,) absolute position of tokens[:, 0];
@@ -255,12 +257,18 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     attn_len: static attention window (the jit analog of the reference's
       seq-len-binned CUDA graphs, llama2_q4.cu:354-360); must satisfy
       attn_len >= max(pos) + T. Defaults to the full cache length.
+    tp_axis/tp_size: when called inside shard_map with Megatron-style
+      tensor parallelism, weights/cache/heads are per-device shards;
+      activations stay replicated, with a psum over tp_axis after the
+      row-parallel o/down projections and an all_gather for the
+      vocab-sharded lm_head (see parallel/tp.py).
     Returns (logits, cache): logits f32 (B, T, vocab) if logits_all else
     (B, vocab) for the last position.
     """
     B, T = tokens.shape
     A = attn_len or cache.k[0].shape[1]
-    H, D, KV = cfg.n_heads, cfg.head_dim, cfg.n_kv_heads
+    H, D, KV = cfg.n_heads // tp_size, cfg.head_dim, cfg.n_kv_heads // tp_size
+    dim_q, dim_kv = cfg.dim // tp_size, cfg.kv_dim // tp_size
 
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
@@ -274,7 +282,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # --- attention block ---
         xb = rmsnorm(x, layer.attn_norm)
         qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
-        qh, kh, vh = jnp.split(qkv, [cfg.dim, cfg.dim + cfg.kv_dim], axis=-1)
+        qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
         kh = kh.reshape(B, T, KV, D)
         vh = vh.reshape(B, T, KV, D)
@@ -284,23 +292,32 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         v_cache_l = _update_cache(cache.v[l], vh, pos)
         new_k.append(k_cache_l)
         new_v.append(v_cache_l)
-        attn = _attention(qh, k_cache_l[:, :A], v_cache_l[:, :A], pos, cfg,
+        attn = _attention(qh, k_cache_l[:, :A], v_cache_l[:, :A], pos,
                           act_dtype).astype(act_dtype)
-        # o-proj with fused residual accumulate (llama2_q4.cu:323)
-        x = (qmatmul(attn, layer.wo, matmul_impl)
-             + x.astype(jnp.float32)).astype(act_dtype)
+        # o-proj with fused residual accumulate (llama2_q4.cu:323);
+        # row-parallel under TP: partial sums reduced over the tp axis
+        o_part = qmatmul(attn, layer.wo, matmul_impl)
+        if tp_axis:
+            o_part = lax.psum(o_part, tp_axis)
+        x = (o_part + x.astype(jnp.float32)).astype(act_dtype)
         # --- FFN block ---
         xb = rmsnorm(x, layer.ffn_norm)
         gu = qmatmul(xb, layer.w_gate_up, matmul_impl)
         g, u = jnp.split(gu, 2, axis=-1)
         h = (g * jax.nn.sigmoid(g) * u).astype(act_dtype)  # SiLU(g)*u, f32
-        x = (qmatmul(h, layer.w_down, matmul_impl)
-             + x.astype(jnp.float32)).astype(act_dtype)
+        d_part = qmatmul(h, layer.w_down, matmul_impl)
+        if tp_axis:
+            d_part = lax.psum(d_part, tp_axis)
+        x = (d_part + x.astype(jnp.float32)).astype(act_dtype)
 
     x = rmsnorm(x, params.final_norm)
     if not logits_all:
         x = x[:, -1, :]
     # classifier GEMV (llama2_q4.cu:339); operands in lm_head's storage
-    # dtype (fp16/bf16) with f32 accumulation, matching mat_vec_kernel
+    # dtype (fp16/bf16) with f32 accumulation, matching mat_vec_kernel.
+    # Under TP the lm_head is vocab-sharded; gather the logits shards.
     logits = dense_matmul(x.astype(params.lm_head.dtype), params.lm_head)
+    if tp_axis:
+        logits = lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                tiled=True)
     return logits, KVCache(new_k, new_v)

@@ -1,0 +1,19 @@
+from llama_cu_awq_tpu.parallel.mesh import make_mesh
+from llama_cu_awq_tpu.parallel.tp import (
+    make_tp_forward,
+    tp_cache_sharding,
+    tp_init_kv_cache,
+    tp_param_shardings,
+    tp_params_from_checkpoint,
+    tp_synthetic_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_tp_forward",
+    "tp_cache_sharding",
+    "tp_init_kv_cache",
+    "tp_param_shardings",
+    "tp_params_from_checkpoint",
+    "tp_synthetic_params",
+]

@@ -1,0 +1,114 @@
+"""Tensor-parallel forward on the virtual 8-device CPU mesh must match
+the single-device oracle (the multi-host test strategy from SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
+from llama_cu_awq_tpu.models import forward, init_kv_cache, params_from_checkpoint
+from llama_cu_awq_tpu.parallel import (
+    make_mesh,
+    make_tp_forward,
+    tp_init_kv_cache,
+    tp_params_from_checkpoint,
+    tp_synthetic_params,
+)
+from llama_cu_awq_tpu.parallel.tp import place_params
+
+
+@pytest.fixture(scope="module")
+def tp_config():
+    from llama_cu_awq_tpu.config import ModelConfig
+
+    # kv_dim/tp must stay a multiple of 128 for the per-shard quant
+    # layout: head_dim 128, 4 kv heads, tp up to 4
+    return ModelConfig(dim=512, hidden_dim=1024, n_layers=2, n_heads=4,
+                       n_kv_heads=4, vocab_size=512, seq_len=64)
+
+
+def _single_device_logits(ckpt, tokens):
+    cfg = ckpt.config
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+    cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    logits, _ = forward(params, cfg, jnp.asarray([tokens]),
+                        jnp.zeros(1, jnp.int32), cache, attn_len=32,
+                        act_dtype=jnp.float32, matmul_impl="dequant",
+                        logits_all=True)
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_forward_matches_single_device(tp_config, tp):
+    assert len(jax.devices()) >= tp
+    cfg = tp_config
+    ckpt = random_checkpoint(cfg, seed=77)
+    tokens = [3, 141, 59, 26, 500]
+
+    expect = _single_device_logits(ckpt, tokens)
+
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    params = tp_params_from_checkpoint(ckpt, tp, param_dtype=jnp.float32)
+    params = place_params(params, cfg, mesh)
+    cache = tp_init_kv_cache(cfg, 1, 32, mesh, dtype=jnp.float32)
+    fwd = make_tp_forward(cfg, mesh, attn_len=32, act_dtype=jnp.float32,
+                          matmul_impl="dequant", logits_all=True)
+    logits, cache2 = fwd(params, jnp.asarray([tokens]),
+                         jnp.zeros(1, jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits), expect, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_tp_decode_matches_prefill(tp_config):
+    """TP stepwise decode through the sharded KV cache == TP prefill."""
+    cfg = tp_config
+    tp = 4
+    ckpt = random_checkpoint(cfg, seed=9)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    params = place_params(
+        tp_params_from_checkpoint(ckpt, tp, param_dtype=jnp.float32),
+        cfg, mesh)
+    tokens = [5, 9, 300, 42]
+
+    fwd_all = make_tp_forward(cfg, mesh, attn_len=32,
+                              act_dtype=jnp.float32, matmul_impl="dequant",
+                              logits_all=True)
+    cache = tp_init_kv_cache(cfg, 1, 32, mesh, dtype=jnp.float32)
+    all_logits, _ = fwd_all(params, jnp.asarray([tokens]),
+                            jnp.zeros(1, jnp.int32), cache)
+
+    fwd_1 = make_tp_forward(cfg, mesh, attn_len=32, act_dtype=jnp.float32,
+                            matmul_impl="dequant")
+    cache = tp_init_kv_cache(cfg, 1, 32, mesh, dtype=jnp.float32)
+    steps = []
+    for t, tok in enumerate(tokens):
+        logits, cache = fwd_1(params, jnp.asarray([[tok]]),
+                              jnp.asarray([t], jnp.int32), cache)
+        steps.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(np.stack(steps), np.asarray(all_logits[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_synthetic_params_run(tp_config):
+    cfg = tp_config
+    mesh = make_mesh(tp=4, dp=2)
+    params = tp_synthetic_params(cfg, mesh, seed=0,
+                                 param_dtype=jnp.float32)
+    cache = tp_init_kv_cache(cfg, 2, 32, mesh, dtype=jnp.float32,
+                             batch_sharded=True)
+    fwd = make_tp_forward(cfg, mesh, attn_len=32, act_dtype=jnp.float32,
+                          matmul_impl="dequant", batch_sharded=True)
+    logits, _ = fwd(params, jnp.asarray([[1, 2], [3, 4]]),
+                    jnp.zeros(2, jnp.int32), cache)
+    assert logits.shape == (2, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mesh_construction():
+    m = make_mesh(tp=4, dp=2)
+    assert m.shape == {"dp": 2, "tp": 4}
+    m2 = make_mesh()
+    assert m2.shape["tp"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(tp=3, dp=3)

@@ -30,7 +30,13 @@ from llama_cu_awq_tpu.io.checkpoint import RawCheckpoint, RawQWeight
 from llama_cu_awq_tpu.ops.linear import dense_matmul, qmatmul
 from llama_cu_awq_tpu.ops.norms import rmsnorm
 from llama_cu_awq_tpu.ops.rope import apply_rope
-from llama_cu_awq_tpu.quant.packing import PLANAR_BLOCK, pad_group_rows, to_planar
+from llama_cu_awq_tpu.quant.packing import (
+    PLANAR_BLOCK,
+    out_pad,
+    pad_cols,
+    pad_group_rows,
+    to_planar,
+)
 from llama_cu_awq_tpu.quant.qtensor import QTensor, QTensorTPU
 
 
@@ -112,9 +118,11 @@ def _fuse_q(row: list[RawQWeight], tpu_layout: bool):
     if not tpu_layout:
         return QTensor(jnp.asarray(qw), jnp.asarray(zeros),
                        jnp.asarray(scales), n_in, n_out)
-    planar = to_planar(qw, n_in)
-    s_pad = pad_group_rows(scales, n_in)
-    zs_pad = pad_group_rows((zeros.astype(np.float32) + 128.0) * scales, n_in)
+    d_pad = out_pad(n_out)
+    planar = pad_cols(to_planar(qw, n_in), d_pad)
+    s_pad = pad_cols(pad_group_rows(scales, n_in), d_pad)
+    zs_pad = pad_cols(pad_group_rows(
+        (zeros.astype(np.float32) + 128.0) * scales, n_in), d_pad)
     return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
                       jnp.asarray(zs_pad), n_in, n_out)
 
@@ -164,11 +172,13 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
         k1, k2, k3 = jax.random.split(key, 3)
         if tpu_layout:
             n_pad = -(-n_in // PLANAR_BLOCK) * PLANAR_BLOCK
+            d_pad = out_pad(n_out)
             g, g_pad = -(-n_in // 128), n_pad // 128
-            qw = jax.random.bits(k1, (n_pad // 8, n_out), jnp.uint32)
+            qw = jax.random.bits(k1, (n_pad // 8, d_pad), jnp.uint32)
             scales = 0.01 * (1.0 + 0.1 * jax.random.normal(
-                k3, (g_pad, n_out), jnp.float32))
-            valid = (jnp.arange(g_pad) < g)[:, None]
+                k3, (g_pad, d_pad), jnp.float32))
+            valid = ((jnp.arange(g_pad) < g)[:, None]
+                     & (jnp.arange(d_pad) < n_out)[None, :])
             scales = jnp.where(valid, scales, 0.0)
             zs = scales * (8.0 + 128.0)  # zero point 8 + the bf16-bias 128
             return QTensorTPU(qw, scales, zs, n_in, n_out)

@@ -36,78 +36,134 @@ _MASK = 0x000F000F
 _BF16_BIAS = 0x43004300  # bf16(128+q) = 0x4300 | q in each 16-bit half
 
 
-def _make_kernel(chunks: int):
-    def _kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref):
-        """One (d-tile, n-tile) grid step.
+def _accumulate(x_ref, qw_ref, s_ref, zs_ref, acc, chunks):
+    """Shared inner loop: unpack `chunks` pair-planar chunks and
+    accumulate their contribution into acc (M, TILE_D) f32."""
+    for t in range(chunks):
+        words = qw_ref[t * 64:(t + 1) * 64, :]
+        for p in range(4):
+            g = t * 4 + p
+            v = ((words >> (4 * p)) & _MASK) | _BF16_BIAS
+            q = pltpu.bitcast(v, jnp.bfloat16)  # (128, TILE_D), 128+q
+            xi = x_ref[:, g * 128:(g + 1) * 128]
+            part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
+            sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc + part * s_ref[g, :][None, :] \
+                - sx * zs_ref[g, :][None, :]
+    return acc
 
-        x_ref:  (M, chunks*512) bf16
-        qw_ref: (chunks*64, TILE_D) u32
-        s_ref:  (chunks*4, TILE_D) f32 — per-group scales
-        zs_ref: (chunks*4, TILE_D) f32 — per-group (zero+128)*scale
-        o_ref:  (M, TILE_D) f32 — accumulated across n-tiles
-        """
+
+def _make_kernel_dinner(chunks: int, tile_d: int):
+    """Grid (n-tiles, d-tiles) with d INNER and the full output row
+    resident in VMEM: the qw sweep over the inner dimension reads
+    consecutive HBM blocks (row-major layout), which measures at
+    ~full HBM bandwidth. Used when M*d_pad*4 fits VMEM (decode)."""
+
+    def _kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref):
+        j = pl.program_id(0)  # n-tile (outer)
+        i = pl.program_id(1)  # d-tile (inner)
+        sl = pl.ds(i * tile_d, tile_d)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:, sl] = jnp.zeros((o_ref.shape[0], tile_d), jnp.float32)
+
+        o_ref[:, sl] = _accumulate(x_ref, qw_ref, s_ref, zs_ref,
+                                   o_ref[:, sl], chunks)
+
+    return _kernel
+
+
+def _make_kernel_douter(chunks: int):
+    """Grid (d-tiles, n-tiles) with n INNER and a (M, TILE_D) output
+    block accumulated across n-tiles. Used for large-M (prefill) where
+    the full output row would not fit VMEM."""
+
+    def _kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        acc = o_ref[:]
-        for t in range(chunks):
-            words = qw_ref[t * 64:(t + 1) * 64, :]
-            for p in range(4):
-                g = t * 4 + p
-                v = ((words >> (4 * p)) & _MASK) | _BF16_BIAS
-                q = pltpu.bitcast(v, jnp.bfloat16)  # (128, TILE_D), 128+q
-                xi = x_ref[:, g * 128:(g + 1) * 128]
-                part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
-                sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
-                acc = acc + part * s_ref[g, :][None, :] \
-                    - sx * zs_ref[g, :][None, :]
-        o_ref[:] = acc
+        o_ref[:] = _accumulate(x_ref, qw_ref, s_ref, zs_ref, o_ref[:],
+                               chunks)
 
     return _kernel
 
 
-def _pick_tiling(n_chunks: int, d: int) -> tuple[int, int]:
-    """Choose (tile_d, chunks-per-step) maximizing the qw DMA block size
-    within a ~3 MB VMEM budget (double-buffered by Pallas).
+def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
+    """Choose (tile_d, chunks-per-step): prefer 2048-wide tiles, the
+    largest chunk count dividing n_chunks with a qw block <= ~4 MB,
+    while keeping >= 6 total grid steps so the DMA pipeline has depth.
 
-    Constraints: tile_d | d; chunks | n_chunks; the scales/zs blocks have
-    sublane = 4*chunks, which Mosaic requires to be a multiple of 8 (so
-    chunks must be even) unless the block covers the whole array
-    (chunks == n_chunks).
+    The scales/zs blocks have sublane = 4*chunks, which Mosaic requires
+    to be a multiple of 8 (chunks even) unless the block covers the
+    whole array (chunks == n_chunks).
     """
-    best = None
-    for tile_d in (1024, 512, 256, 128):
-        if d % tile_d:
-            continue
-        budget = max(1, (3 << 20) // (64 * tile_d * 4))
-        for c in range(min(budget, n_chunks), 0, -1):
-            if n_chunks % c:
-                continue
-            if c % 2 and c != n_chunks:
-                continue
-            score = c * 64 * tile_d
-            if best is None or score > best[0]:
-                best = (score, tile_d, c)
+    tile_d = None
+    for t in (2048, 1024, 512, 256, 128):
+        if d_pad % t == 0:
+            tile_d = t
             break
-    if best is None:
-        raise ValueError(f"n_out={d} not a multiple of 128")
-    return best[1], best[2]
+    if tile_d is None:
+        raise ValueError(f"d_pad={d_pad} not a multiple of 128")
+    d_tiles = d_pad // tile_d
+    # measured on v5e: ~1 MB qw blocks with a deep grid stream fastest;
+    # chunks=4 when the d sweep alone gives pipeline depth, else 2
+    if n_chunks % 4 == 0 and d_tiles >= 4:
+        chunks = 4
+    elif n_chunks % 2 == 0:
+        chunks = 2
+    else:
+        chunks = n_chunks  # odd chunk counts: whole-array block (sublane
+        #                    constraint: 4*chunks%8==0 unless full array)
+    return tile_d, chunks
+
+
+# full-output-row VMEM budget for the d-inner variant
+_DINNER_OUT_BYTES = 3 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
     m, n_pad = x2.shape
-    rows, d = qw.shape
+    rows, d_pad = qw.shape
     n_chunks = n_pad // PLANAR_BLOCK
-    tile_d, chunks = _pick_tiling(n_chunks, d)
+    tile_d, chunks = _pick_tiling(n_chunks, d_pad)
     n_tiles = n_chunks // chunks
-    d_tiles = d // tile_d
+    d_tiles = d_pad // tile_d
+
+    cost = pl.CostEstimate(
+        flops=2 * m * n_pad * d_pad,
+        bytes_accessed=rows * d_pad * 4 + m * n_pad * 2 + m * d_pad * 4,
+        transcendentals=0,
+    )
+    if m * d_pad * 4 <= _DINNER_OUT_BYTES:
+        return pl.pallas_call(
+            _make_kernel_dinner(chunks, tile_d),
+            grid=(n_tiles, d_tiles),
+            in_specs=[
+                pl.BlockSpec((m, chunks * PLANAR_BLOCK),
+                             lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunks * 4, tile_d), lambda j, i: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunks * 4, tile_d), lambda j, i: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m, d_pad), lambda j, i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, d_pad), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(x2, qw, scales, zs)
 
     return pl.pallas_call(
-        _make_kernel(chunks),
+        _make_kernel_douter(chunks),
         grid=(d_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((m, chunks * PLANAR_BLOCK), lambda i, j: (0, j),
@@ -121,12 +177,8 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
         ],
         out_specs=pl.BlockSpec((m, tile_d), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * n_pad * d,
-            bytes_accessed=rows * d * 4 + m * n_pad * 2 + m * d * 4,
-            transcendentals=0,
-        ),
+        out_shape=jax.ShapeDtypeStruct((m, d_pad), jnp.float32),
+        cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
@@ -146,4 +198,6 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
     if qt.n_pad != n_in:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.n_pad - n_in)))
     out = _int4_matmul_2d(x2, qt.qw, qt.scales, qt.zs, interpret=interpret)
+    if qt.d_pad != qt.n_out:
+        out = out[:, : qt.n_out]  # drop zero-scale padding columns
     return out.reshape(*lead, qt.n_out)

@@ -39,6 +39,8 @@ from llama_cu_awq_tpu.models.llama import (
 )
 from llama_cu_awq_tpu.parallel.mesh import DP_AXIS, TP_AXIS
 from llama_cu_awq_tpu.quant.packing import (
+    out_pad,
+    pad_cols,
     pad_group_rows,
     planar_pad,
     to_planar,
@@ -46,29 +48,37 @@ from llama_cu_awq_tpu.quant.packing import (
 from llama_cu_awq_tpu.quant.qtensor import QTensorTPU
 
 
-def _planarize(qw, zeros, scales, n_in):
-    planar = to_planar(qw, n_in)
-    s = pad_group_rows(scales, n_in)
-    zs = pad_group_rows((zeros.astype(np.float32) + 128.0) * scales, n_in)
+def _planarize(qw, zeros, scales, n_in, d_pad=None):
+    d_pad = d_pad or out_pad(qw.shape[1])
+    planar = pad_cols(to_planar(qw, n_in), d_pad)
+    s = pad_cols(pad_group_rows(scales, n_in), d_pad)
+    zs = pad_cols(pad_group_rows(
+        (zeros.astype(np.float32) + 128.0) * scales, n_in), d_pad)
     return planar, s, zs
 
 
 def _col_shard_fused(raws: list[RawQWeight], tp: int) -> QTensorTPU:
-    """Fused column-parallel tensor: n_out blocks ordered shard-major."""
+    """Fused column-parallel tensor: n_out blocks ordered shard-major,
+    each shard's local block column-padded so the split stays uniform."""
     n_in = raws[0].n_in
-    cols = []
+    n_out_local = sum(r.n_out for r in raws) // tp
+    d_pad_local = out_pad(n_out_local)
+    shards = []
     for d in range(tp):
+        parts = []
         for r in raws:
             w = r.n_out // tp
             sl = slice(d * w, (d + 1) * w)
-            cols.append((r.qw[:, sl], r.zeros[:, sl], r.scales[:, sl]))
-    qw = np.concatenate([c[0] for c in cols], axis=1)
-    zeros = np.concatenate([c[1] for c in cols], axis=1)
-    scales = np.concatenate([c[2] for c in cols], axis=1)
-    planar, s, zs = _planarize(qw, zeros, scales, n_in)
-    n_out_local = sum(r.n_out for r in raws) // tp
-    return QTensorTPU(jnp.asarray(planar), jnp.asarray(s), jnp.asarray(zs),
-                      n_in, n_out_local)
+            parts.append((r.qw[:, sl], r.zeros[:, sl], r.scales[:, sl]))
+        qw = np.concatenate([p[0] for p in parts], axis=1)
+        zeros = np.concatenate([p[1] for p in parts], axis=1)
+        scales = np.concatenate([p[2] for p in parts], axis=1)
+        shards.append(_planarize(qw, zeros, scales, n_in, d_pad_local))
+    return QTensorTPU(
+        jnp.asarray(np.concatenate([s[0] for s in shards], axis=1)),
+        jnp.asarray(np.concatenate([s[1] for s in shards], axis=1)),
+        jnp.asarray(np.concatenate([s[2] for s in shards], axis=1)),
+        n_in, n_out_local)
 
 
 def _row_shard(raw: RawQWeight, tp: int) -> QTensorTPU:
@@ -203,24 +213,25 @@ def tp_synthetic_params(cfg: ModelConfig, mesh, seed: int = 0,
     dim, kv, hid, vocab = cfg.dim, cfg.kv_dim, cfg.hidden_dim, cfg.vocab_size
     sh = tp_param_shardings(cfg, mesh)
 
-    def q(key, n_local, n_out_local, n_out_total_mult, sharding, col):
-        """col: global n_out = n_out_local*tp, rows = planar_pad(n_local);
-        row: global rows = tp*planar_pad(n_local)/8."""
+    def q(key, n_local, n_out_local, tp_mult, sharding, col):
+        """col: global d = out_pad(n_out_local)*tp, rows = local planar;
+        row: global rows = tp*local planar rows, d = out_pad(n_out)."""
         k1, k2 = jax.random.split(key)
         n_pad = planar_pad(n_local)
         g_pad, g = n_pad // 128, -(-n_local // 128)
+        d_pad_local = out_pad(n_out_local)
         if col:
-            rows, gr, d_tot = n_pad // 8, g_pad, n_out_local * n_out_total_mult
+            rows, gr, d_tot = n_pad // 8, g_pad, d_pad_local * tp_mult
         else:
-            rows, gr, d_tot = (n_pad // 8) * n_out_total_mult, \
-                g_pad * n_out_total_mult, n_out_local
+            rows, gr, d_tot = (n_pad // 8) * tp_mult, g_pad * tp_mult, \
+                d_pad_local
         qw = jax.device_put(
             jax.random.bits(k1, (rows, d_tot), jnp.uint32), sharding.qw)
         scales = 0.01 * (1.0 + 0.1 * jax.random.normal(
             k2, (gr, d_tot), jnp.float32))
-        valid = (jnp.arange(g_pad) % g_pad < g)
-        mask = jnp.tile(valid, gr // g_pad)[:, None] if not col \
-            else valid[:, None]
+        # zero padded group rows (padded cols are sliced off downstream)
+        valid = (jnp.arange(g_pad) < g)
+        mask = jnp.tile(valid, gr // g_pad)[:, None]
         scales = jnp.where(mask, scales, 0.0)
         scales = jax.device_put(scales, sharding.scales)
         zs = scales * (8.0 + 128.0)

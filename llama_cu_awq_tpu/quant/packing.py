@@ -142,6 +142,21 @@ def planar_pad(n: int) -> int:
     return div_up(n, PLANAR_BLOCK) * PLANAR_BLOCK
 
 
+def out_pad(d: int) -> int:
+    """Pad the n_out (lane) dimension so the kernel can use its preferred
+    2048-wide tiles; padded columns carry scale = zs = 0. Small tensors
+    only pad to the 128-lane minimum."""
+    return div_up(d, 2048) * 2048 if d >= 2048 else div_up(d, 128) * 128
+
+
+def pad_cols(arr: np.ndarray, d_pad: int) -> np.ndarray:
+    if arr.shape[-1] == d_pad:
+        return arr
+    out = np.zeros(arr.shape[:-1] + (d_pad,), dtype=arr.dtype)
+    out[..., : arr.shape[-1]] = arr
+    return out
+
+
 def to_planar(qw: np.ndarray, n: int) -> np.ndarray:
     """Canonical packed (ceil(n/8), d) -> pair-planar packed (n_pad/8, d)."""
     d = qw.shape[1]

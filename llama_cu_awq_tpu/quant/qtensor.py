@@ -94,13 +94,15 @@ def dequant_expand(qw: jax.Array, zeros: jax.Array, scales: jax.Array,
 class QTensorTPU:
     """Packed 4-bit weight in the TPU kernel ("planar") layout.
 
-    qw:     uint32 (n_pad/8, n_out) — see packing.to_planar (pair-planar)
-    scales: float32 (n_pad/128, n_out)
-    zs:     float32 (n_pad/128, n_out) — precomputed (zero + 128) * scale
+    qw:     uint32 (n_pad/8, d_pad) — see packing.to_planar (pair-planar)
+    scales: float32 (n_pad/128, d_pad)
+    zs:     float32 (n_pad/128, d_pad) — precomputed (zero + 128) * scale
             (the +128 cancels the bf16 exponent-bias trick in the kernel)
 
-    Padding groups have scale == zs == 0, so padded rows contribute
-    nothing regardless of the (padded) activation values.
+    n_pad pads input rows to the 512-row planar block; d_pad pads output
+    columns to the kernel's preferred lane tile (packing.out_pad).
+    Padding rows/columns carry scale == zs == 0, so they contribute
+    nothing; the matmul wrapper slices the output back to n_out.
     """
 
     qw: jax.Array
@@ -124,6 +126,10 @@ class QTensorTPU:
     def n_pad(self) -> int:
         return self.qw.shape[-2] * 8
 
+    @property
+    def d_pad(self) -> int:
+        return self.qw.shape[-1]
+
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Dense (n_in, n_out) weight from the pair-planar layout
         (oracle/CPU fallback path): w = (q + 128)*s - zs."""
@@ -136,7 +142,8 @@ class QTensorTPU:
              (w >> (shifts + 16)) & jnp.uint32(0xF)], axis=3)
         q = halves.astype(jnp.float32).reshape(c * 4 * 64 * 2, d)[: self.n_in]
         gidx = jnp.arange(self.n_in) // GROUP_SIZE
-        return ((q + 128.0) * self.scales[gidx] - self.zs[gidx]).astype(dtype)
+        dense = (q + 128.0) * self.scales[gidx] - self.zs[gidx]
+        return dense[:, : self.n_out].astype(dtype)
 
 
 def to_tpu_layout(qt: QTensor) -> QTensorTPU:
@@ -144,9 +151,12 @@ def to_tpu_layout(qt: QTensor) -> QTensorTPU:
     qw = np.asarray(qt.qw)
     zeros = np.asarray(qt.zeros).astype(np.float32)
     scales = np.asarray(qt.scales)
-    planar = packing.to_planar(qw, qt.n_in)
-    s_pad = packing.pad_group_rows(scales, qt.n_in)
-    zs_pad = packing.pad_group_rows((zeros + 128.0) * scales, qt.n_in)
+    d_pad = packing.out_pad(qt.n_out)
+    planar = packing.pad_cols(packing.to_planar(qw, qt.n_in), d_pad)
+    s_pad = packing.pad_cols(
+        packing.pad_group_rows(scales, qt.n_in), d_pad)
+    zs_pad = packing.pad_cols(
+        packing.pad_group_rows((zeros + 128.0) * scales, qt.n_in), d_pad)
     return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
                       jnp.asarray(zs_pad), qt.n_in, qt.n_out)
 

@@ -49,6 +49,10 @@ class ModelConfig:
         return self.n_heads // self.n_kv_heads
 
     def __post_init__(self):
+        if min(self.dim, self.hidden_dim, self.n_layers, self.n_heads,
+               self.n_kv_heads, self.vocab_size, self.seq_len) <= 0:
+            raise ValueError(
+                f"invalid model config (corrupt checkpoint header?): {self}")
         if self.dim % self.n_heads:
             raise ValueError(f"dim {self.dim} not divisible by n_heads {self.n_heads}")
         if self.n_heads % self.n_kv_heads:

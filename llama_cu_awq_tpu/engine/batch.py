@@ -1,0 +1,278 @@
+"""Continuous-batching engine: many concurrent requests over one model.
+
+A capability extension over the single-sequence reference engine
+(BASELINE.json north star; the reference serves exactly one request,
+llama2_q4.cu:436-492). Design:
+
+- The KV cache holds S slots (leading batch axis of every per-layer
+  buffer). A slot is one request's sequence; the slot scheduler
+  (engine/scheduler.py -> native/batch_scheduler.cpp) assigns queued
+  requests to free slots between decode chunks.
+- Prefill runs per admitted request on its slot's cache rows (B=1
+  forward over a dynamic slot slice — compute-bound, so running it at
+  batch S would multiply FLOPs by S for no reason).
+- Decode runs ALL slots in one jitted batched step (B=S, T=1): decode is
+  weight-bandwidth-bound, so the S-fold batch rides along nearly free —
+  this is where continuous batching gets its throughput. Inactive slots
+  compute garbage that the host discards; their cache writes land at
+  rows that are re-prefilled before the slot is ever read again.
+- K decode steps run per chunk fully on device (lax.scan, sampled token
+  feeding the next embedding lookup — same device-resident loop as the
+  single-sequence engine); the host syncs once per chunk, distributes
+  tokens to requests, retires EOS/budget-complete slots, and admits new
+  requests.
+
+Per-sequence positions (`pos: (S,)`) make every slot causally independent
+inside one shared attention kernel (models/llama.py:_attention masks per
+row with its own pos).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from llama_cu_awq_tpu.config import ModelConfig
+from llama_cu_awq_tpu.engine.engine import PREFILL_BLOCK, attn_buckets
+from llama_cu_awq_tpu.engine.scheduler import make_scheduler
+from llama_cu_awq_tpu.models.llama import (
+    KVCache,
+    LlamaParams,
+    forward,
+    init_kv_cache,
+)
+from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
+from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN
+
+
+@dataclasses.dataclass
+class _Req:
+    id: int
+    prompt: list[int]
+    max_new: int
+    out: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submit_t: float = 0.0
+    first_token_t: float | None = None
+    finish_t: float | None = None
+
+
+class BatchEngine:
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 tokenizer=None, *, n_slots: int = 8,
+                 max_seq: int | None = None, act_dtype=jnp.bfloat16,
+                 matmul_impl: str | None = None, temperature: float = 0.0,
+                 topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
+                 prefer_native_scheduler: bool = True):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots
+        self.max_seq = max_seq or min(512, cfg.seq_len)
+        self.act_dtype = act_dtype
+        self.matmul_impl = matmul_impl
+        self.temperature = temperature
+        self.topp = topp
+        self.rng = XorshiftRNG(seed)
+        self.chunk_size = chunk_size
+        self._buckets = attn_buckets(self.max_seq)
+        self.scheduler = make_scheduler(n_slots, self.max_seq,
+                                        prefer_native=prefer_native_scheduler)
+        self.cache = init_kv_cache(cfg, n_slots, self.max_seq,
+                                   dtype=act_dtype)
+        self.pos = np.zeros(n_slots, np.int32)       # next write position
+        self.last_token = np.zeros(n_slots, np.int32)
+        self._requests: dict[int, _Req] = {}
+        self._slot_req: list[_Req | None] = [None] * n_slots
+        self._next_id = 0
+
+    # ------------------------------------------------------------------
+
+    def _bucket_for(self, seq: int) -> int:
+        for b in self._buckets:
+            if seq <= b:
+                return b
+        return self._buckets[-1]
+
+    @functools.cached_property
+    def _prefill_slot_fn(self):
+        """B=1 prefill over one slot's cache rows (slot index traced)."""
+
+        @functools.partial(jax.jit, static_argnames=("block", "attn_len"),
+                           donate_argnames=("cache",))
+        def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
+            sub = KVCache(
+                [lax.dynamic_slice_in_dim(k, slot, 1, 0) for k in cache.k],
+                [lax.dynamic_slice_in_dim(v, slot, 1, 0) for v in cache.v])
+            _, sub = forward(params, self.cfg, tokens, pos[None], sub,
+                             attn_len=attn_len, act_dtype=self.act_dtype,
+                             matmul_impl=self.matmul_impl)
+            return KVCache(
+                [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
+                 for c, s in zip(cache.k, sub.k)],
+                [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
+                 for c, s in zip(cache.v, sub.v)])
+
+        return prefill
+
+    @functools.cached_property
+    def _decode_chunk_fn(self):
+        """K batched decode steps on device; coins: (K, S)."""
+
+        @functools.partial(jax.jit, static_argnames=("attn_len",),
+                           donate_argnames=("cache",))
+        def chunk(params, tokens, pos, cache, coins, *, attn_len):
+            def body(carry, coin):
+                tokens, pos, cache = carry
+                logits, cache = forward(
+                    params, self.cfg, tokens[:, None], pos, cache,
+                    attn_len=attn_len, act_dtype=self.act_dtype,
+                    matmul_impl=self.matmul_impl)
+                nxt = sample_token(logits, coin, self.temperature, self.topp)
+                nxt = nxt[:, 0] if nxt.ndim > 1 else nxt
+                nxt = jnp.where(nxt >= self.cfg.vocab_size, 0, nxt)
+                return (nxt, pos + 1, cache), nxt
+
+            (_, _, cache), toks = lax.scan(body, (tokens, pos, cache), coins)
+            return toks, cache  # toks: (K, S)
+
+        return chunk
+
+    # ------------------------------------------------------------------
+    # public API
+
+    def submit(self, prompt: str | list[int], max_new: int = 0) -> int:
+        """Queue a request; returns its id. prompt may be text (needs a
+        tokenizer) or a token list (BOS added if missing)."""
+        if isinstance(prompt, str):
+            tokens = self.tokenizer.encode(prompt, bos=True, eos=False)
+        else:
+            tokens = list(prompt)
+            if not tokens or tokens[0] != BOS_TOKEN:
+                tokens = [BOS_TOKEN] + tokens
+        if len(tokens) + 1 > self.max_seq:
+            raise ValueError(
+                f"prompt of {len(tokens)} tokens exceeds max_seq "
+                f"{self.max_seq}")
+        rid = self._next_id
+        self._next_id += 1
+        req = _Req(rid, tokens, max_new, submit_t=time.time())
+        self._requests[rid] = req
+        ok = self.scheduler.add(rid, len(tokens), max_new)
+        assert ok, "scheduler rejected a size-checked request"
+        return rid
+
+    def _admit(self):
+        for slot, rid in self.scheduler.admit():
+            req = self._requests[rid]
+            self._slot_req[slot] = req
+            tokens = req.prompt
+            # teacher-force all but the last prompt token; the last one
+            # seeds the first decode step (engine.py generate parity)
+            pos = 0
+            body = tokens[:-1]
+            i = 0
+            while i < len(body):
+                chunk = body[i:i + PREFILL_BLOCK]
+                block = 1 if len(chunk) == 1 else PREFILL_BLOCK
+                if pos + block > self.max_seq:
+                    # padded block would clamp the dynamic cache write at
+                    # the boundary (engine.py _prefill's fallback)
+                    block, chunk = 1, body[i:i + 1]
+                padded = chunk + [0] * (block - len(chunk))
+                attn_len = self._bucket_for(pos + block)
+                self.cache = self._prefill_slot_fn(
+                    self.params, jnp.asarray([padded], jnp.int32),
+                    jnp.asarray(pos, jnp.int32), self.cache,
+                    jnp.asarray(slot, jnp.int32),
+                    block=block, attn_len=attn_len)
+                pos += len(chunk)
+                i += len(chunk)
+            self.pos[slot] = len(tokens) - 1
+            self.last_token[slot] = tokens[-1]
+
+    def step(self) -> list[tuple[int, list[int], bool]]:
+        """Admit + one decode chunk. Returns [(request_id, new_tokens,
+        finished)] for every request that produced tokens this chunk."""
+        self._admit()
+        active = [s for s in range(self.n_slots)
+                  if self._slot_req[s] is not None]
+        if not active:
+            return []
+        k = self.chunk_size
+        # a slot at the cache boundary caps the chunk length
+        for s in active:
+            k = min(k, self.max_seq - int(self.pos[s]))
+        k = max(k, 1)
+        coins = jnp.asarray(
+            [[self.rng.random_f32() for _ in range(self.n_slots)]
+             for _ in range(k)], jnp.float32)
+        attn_len = self._bucket_for(int(self.pos[active].max()) + k)
+        toks, self.cache = self._decode_chunk_fn(
+            self.params, jnp.asarray(self.last_token), jnp.asarray(self.pos),
+            self.cache, coins, attn_len=attn_len)
+        host = np.asarray(toks)  # (k, S)
+
+        results = []
+        now = time.time()
+        for s in active:
+            req = self._slot_req[s]
+            new = []
+            for step_i in range(k):
+                t = int(host[step_i, s])
+                finished = self.scheduler.on_token(s, t == EOS_TOKEN)
+                if t != EOS_TOKEN:
+                    new.append(t)
+                if finished:
+                    req.done = True
+                    req.finish_t = now
+                    self._slot_req[s] = None
+                    break
+            if new and req.first_token_t is None:
+                req.first_token_t = now
+            req.out.extend(new)
+            results.append((req.id, new, req.done))
+        # all slots advanced k rows on device (garbage for retired ones —
+        # re-prefilled on reuse); keep host pos in sync with the device
+        self.pos += k
+        self.last_token = host[-1].copy()
+        for s in range(self.n_slots):
+            if self._slot_req[s] is None:
+                self.pos[s] = 0  # park free slots (their writes land at
+                #                  row 0, which admission re-prefills)
+        return results
+
+    @property
+    def pending(self) -> int:
+        return self.scheduler.num_active + self.scheduler.num_queued
+
+    def run(self, max_chunks: int = 10_000) -> dict[int, list[int]]:
+        """Drain all queued/active requests; returns id -> tokens."""
+        chunks = 0
+        while self.pending and chunks < max_chunks:
+            self.step()
+            chunks += 1
+        return {rid: r.out for rid, r in self._requests.items()}
+
+    def stats(self) -> dict:
+        reqs = [r for r in self._requests.values() if r.done]
+        total_tokens = sum(len(r.out) for r in reqs)
+        if not reqs:
+            return {"finished": 0, "total_tokens": 0}
+        t0 = min(r.submit_t for r in reqs)
+        t1 = max(r.finish_t for r in reqs)
+        lat = [r.finish_t - r.submit_t for r in reqs]
+        return {
+            "finished": len(reqs),
+            "total_tokens": total_tokens,
+            "wall_s": t1 - t0,
+            "tok_per_s": total_tokens / (t1 - t0) if t1 > t0 else 0.0,
+            "mean_latency_s": sum(lat) / len(lat),
+            "max_latency_s": max(lat),
+        }

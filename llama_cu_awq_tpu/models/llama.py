@@ -32,9 +32,9 @@ from llama_cu_awq_tpu.ops.norms import rmsnorm
 from llama_cu_awq_tpu.ops.rope import apply_rope
 from llama_cu_awq_tpu.quant.packing import (
     PLANAR_BLOCK,
+    build_meta,
     out_pad,
     pad_cols,
-    pad_group_rows,
     to_planar,
 )
 from llama_cu_awq_tpu.quant.qtensor import QTensor, QTensorTPU
@@ -120,11 +120,8 @@ def _fuse_q(row: list[RawQWeight], tpu_layout: bool):
                        jnp.asarray(scales), n_in, n_out)
     d_pad = out_pad(n_out)
     planar = pad_cols(to_planar(qw, n_in), d_pad)
-    s_pad = pad_cols(pad_group_rows(scales, n_in), d_pad)
-    zs_pad = pad_cols(pad_group_rows(
-        (zeros.astype(np.float32) + 128.0) * scales, n_in), d_pad)
-    return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
-                      jnp.asarray(zs_pad), n_in, n_out)
+    meta = build_meta(scales, zeros, n_in, d_pad)
+    return QTensorTPU(jnp.asarray(planar), jnp.asarray(meta), n_in, n_out)
 
 
 def params_from_checkpoint(ckpt: RawCheckpoint, param_dtype=None,
@@ -180,8 +177,10 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
             valid = ((jnp.arange(g_pad) < g)[:, None]
                      & (jnp.arange(d_pad) < n_out)[None, :])
             scales = jnp.where(valid, scales, 0.0)
-            zs = scales * (8.0 + 128.0)  # zero point 8 + the bf16-bias 128
-            return QTensorTPU(qw, scales, zs, n_in, n_out)
+            z128 = jnp.full((g_pad, d_pad), 8.0 + 128.0)  # zero point 8
+            meta = jnp.stack([scales, z128], axis=1).astype(
+                jnp.bfloat16).reshape(2 * g_pad, d_pad)
+            return QTensorTPU(qw, meta, n_in, n_out)
         qw = jax.random.bits(k1, (n_in // 8, n_out), jnp.uint32)
         zeros = jax.random.randint(k2, (-(-n_in // 128), n_out), 0, 16,
                                    jnp.int8)

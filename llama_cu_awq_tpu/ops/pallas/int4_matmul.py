@@ -13,11 +13,16 @@ u32(64,d)->bf16(128,d) lands the rows hardware-interleaved — which the
 layout makes exactly one contiguous 128-row quantization group. Net VPU
 cost: 3 ops per 2 weights. Each pair-plane feeds one MXU dot with f32
 accumulation; the +128 bias and the AWQ zero-point cancel via the
-precomputed zs = (z + 128) * s:
+bf16-exact z+128 metadata row (packing.build_meta):
 
-    out += (x_g @ bf16(q_g + 128)) * s_g - sum(x_g) * zs_g
+    out += (x_g @ bf16(q_g + 128) - sum(x_g) * (z_g + 128)) * s_g
         == sum_g x_g (q_g - z_g) s_g   (the reference's dequant,
                                         gpu_kernels.h:196-198)
+
+Scale/zero metadata travels as ONE interleaved bf16 array (row 2g =
+s_g, row 2g+1 = z_g+128): half the metadata HBM traffic of f32 pairs,
+and the 16-row sublane granule of bf16 stays block-aligned for every
+even chunk count.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ _MASK = 0x000F000F
 _BF16_BIAS = 0x43004300  # bf16(128+q) = 0x4300 | q in each 16-bit half
 
 
-def _accumulate(x_ref, qw_ref, s_ref, zs_ref, acc, chunks):
+def _accumulate(x_ref, qw_ref, meta_ref, acc, chunks):
     """Shared inner loop: unpack `chunks` pair-planar chunks and
     accumulate their contribution into acc (M, TILE_D) f32."""
     for t in range(chunks):
@@ -48,8 +53,9 @@ def _accumulate(x_ref, qw_ref, s_ref, zs_ref, acc, chunks):
             xi = x_ref[:, g * 128:(g + 1) * 128]
             part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
             sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc + part * s_ref[g, :][None, :] \
-                - sx * zs_ref[g, :][None, :]
+            s = meta_ref[2 * g, :].astype(jnp.float32)
+            z128 = meta_ref[2 * g + 1, :].astype(jnp.float32)
+            acc = acc + (part - sx * z128[None, :]) * s[None, :]
     return acc
 
 
@@ -59,7 +65,7 @@ def _make_kernel_dinner(chunks: int, tile_d: int):
     consecutive HBM blocks (row-major layout), which measures at
     ~full HBM bandwidth. Used when M*d_pad*4 fits VMEM (decode)."""
 
-    def _kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref):
+    def _kernel(x_ref, qw_ref, meta_ref, o_ref):
         j = pl.program_id(0)  # n-tile (outer)
         i = pl.program_id(1)  # d-tile (inner)
         sl = pl.ds(i * tile_d, tile_d)
@@ -68,7 +74,7 @@ def _make_kernel_dinner(chunks: int, tile_d: int):
         def _():
             o_ref[:, sl] = jnp.zeros((o_ref.shape[0], tile_d), jnp.float32)
 
-        o_ref[:, sl] = _accumulate(x_ref, qw_ref, s_ref, zs_ref,
+        o_ref[:, sl] = _accumulate(x_ref, qw_ref, meta_ref,
                                    o_ref[:, sl], chunks)
 
     return _kernel
@@ -79,15 +85,14 @@ def _make_kernel_douter(chunks: int):
     block accumulated across n-tiles. Used for large-M (prefill) where
     the full output row would not fit VMEM."""
 
-    def _kernel(x_ref, qw_ref, s_ref, zs_ref, o_ref):
+    def _kernel(x_ref, qw_ref, meta_ref, o_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        o_ref[:] = _accumulate(x_ref, qw_ref, s_ref, zs_ref, o_ref[:],
-                               chunks)
+        o_ref[:] = _accumulate(x_ref, qw_ref, meta_ref, o_ref[:], chunks)
 
     return _kernel
 
@@ -97,9 +102,9 @@ def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
     largest chunk count dividing n_chunks with a qw block <= ~4 MB,
     while keeping >= 6 total grid steps so the DMA pipeline has depth.
 
-    The scales/zs blocks have sublane = 4*chunks, which Mosaic requires
-    to be a multiple of 8 (chunks even) unless the block covers the
-    whole array (chunks == n_chunks).
+    The bf16 meta block has sublane = 8*chunks, which Mosaic requires to
+    be a multiple of 16 (chunks even) unless the block covers the whole
+    array (chunks == n_chunks).
     """
     tile_d = None
     for t in (2048, 1024, 512, 256, 128):
@@ -126,7 +131,7 @@ _DINNER_OUT_BYTES = 3 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
+def _int4_matmul_2d(x2: jax.Array, qw, meta, *, interpret=False):
     m, n_pad = x2.shape
     rows, d_pad = qw.shape
     n_chunks = n_pad // PLANAR_BLOCK
@@ -136,7 +141,8 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
 
     cost = pl.CostEstimate(
         flops=2 * m * n_pad * d_pad,
-        bytes_accessed=rows * d_pad * 4 + m * n_pad * 2 + m * d_pad * 4,
+        bytes_accessed=(rows * d_pad * 4 + meta.size * 2
+                        + m * n_pad * 2 + m * d_pad * 4),
         transcendentals=0,
     )
     if m * d_pad * 4 <= _DINNER_OUT_BYTES:
@@ -148,9 +154,7 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
                              lambda j, i: (0, j), memory_space=pltpu.VMEM),
                 pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunks * 4, tile_d), lambda j, i: (j, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunks * 4, tile_d), lambda j, i: (j, i),
+                pl.BlockSpec((chunks * 8, tile_d), lambda j, i: (j, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((m, d_pad), lambda j, i: (0, 0),
@@ -160,7 +164,7 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(x2, qw, scales, zs)
+        )(x2, qw, meta)
 
     return pl.pallas_call(
         _make_kernel_douter(chunks),
@@ -170,9 +174,7 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunks * 64, tile_d), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunks * 4, tile_d), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunks * 4, tile_d), lambda i, j: (j, i),
+            pl.BlockSpec((chunks * 8, tile_d), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, tile_d), lambda i, j: (0, i),
@@ -182,7 +184,7 @@ def _int4_matmul_2d(x2: jax.Array, qw, scales, zs, *, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(x2, qw, scales, zs)
+    )(x2, qw, meta)
 
 
 def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
@@ -197,7 +199,7 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
     x2 = x.reshape(m, n_in).astype(jnp.bfloat16)
     if qt.n_pad != n_in:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.n_pad - n_in)))
-    out = _int4_matmul_2d(x2, qt.qw, qt.scales, qt.zs, interpret=interpret)
+    out = _int4_matmul_2d(x2, qt.qw, qt.meta, interpret=interpret)
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]  # drop zero-scale padding columns
     return out.reshape(*lead, qt.n_out)

@@ -39,9 +39,9 @@ from llama_cu_awq_tpu.models.llama import (
 )
 from llama_cu_awq_tpu.parallel.mesh import DP_AXIS, TP_AXIS
 from llama_cu_awq_tpu.quant.packing import (
+    build_meta,
     out_pad,
     pad_cols,
-    pad_group_rows,
     planar_pad,
     to_planar,
 )
@@ -51,10 +51,8 @@ from llama_cu_awq_tpu.quant.qtensor import QTensorTPU
 def _planarize(qw, zeros, scales, n_in, d_pad=None):
     d_pad = d_pad or out_pad(qw.shape[1])
     planar = pad_cols(to_planar(qw, n_in), d_pad)
-    s = pad_cols(pad_group_rows(scales, n_in), d_pad)
-    zs = pad_cols(pad_group_rows(
-        (zeros.astype(np.float32) + 128.0) * scales, n_in), d_pad)
-    return planar, s, zs
+    meta = build_meta(scales, zeros, n_in, d_pad)
+    return planar, meta
 
 
 def _col_shard_fused(raws: list[RawQWeight], tp: int) -> QTensorTPU:
@@ -77,7 +75,6 @@ def _col_shard_fused(raws: list[RawQWeight], tp: int) -> QTensorTPU:
     return QTensorTPU(
         jnp.asarray(np.concatenate([s[0] for s in shards], axis=1)),
         jnp.asarray(np.concatenate([s[1] for s in shards], axis=1)),
-        jnp.asarray(np.concatenate([s[2] for s in shards], axis=1)),
         n_in, n_out_local)
 
 
@@ -87,22 +84,19 @@ def _row_shard(raw: RawQWeight, tp: int) -> QTensorTPU:
     from llama_cu_awq_tpu.quant.packing import GROUP_SIZE, pack_nibbles, unpack_nibbles
 
     n_local = raw.n_in // tp
-    assert n_local % GROUP_SIZE == 0 or tp == 1 or True
     q_full = unpack_nibbles(raw.qw, raw.n_in)
     g_per = -(-n_local // GROUP_SIZE)
-    planars, ss, zss = [], [], []
+    planars, metas = [], []
     for d in range(tp):
         q_d = q_full[d * n_local:(d + 1) * n_local]
         z_d = raw.zeros[d * g_per:(d + 1) * g_per]
         s_d = raw.scales[d * g_per:(d + 1) * g_per]
-        p, s, zs = _planarize(pack_nibbles(q_d), z_d, s_d, n_local)
+        p, meta = _planarize(pack_nibbles(q_d), z_d, s_d, n_local)
         planars.append(p)
-        ss.append(s)
-        zss.append(zs)
+        metas.append(meta)
     return QTensorTPU(
         jnp.asarray(np.concatenate(planars, axis=0)),
-        jnp.asarray(np.concatenate(ss, axis=0)),
-        jnp.asarray(np.concatenate(zss, axis=0)),
+        jnp.asarray(np.concatenate(metas, axis=0)),
         n_local, raw.n_out)
 
 
@@ -154,11 +148,11 @@ def tp_param_shardings(cfg: ModelConfig, mesh) -> LlamaParams:
 
     def col(n_in, n_out_local):
         return QTensorTPU(ns(None, TP_AXIS), ns(None, TP_AXIS),
-                          ns(None, TP_AXIS), n_in, n_out_local)
+                          n_in, n_out_local)
 
     def row(n_in_local, n_out):
         return QTensorTPU(ns(TP_AXIS, None), ns(TP_AXIS, None),
-                          ns(TP_AXIS, None), n_in_local, n_out)
+                          n_in_local, n_out)
 
     layer = LlamaLayer(
         attn_norm=ns(None), ffn_norm=ns(None),
@@ -233,9 +227,11 @@ def tp_synthetic_params(cfg: ModelConfig, mesh, seed: int = 0,
         valid = (jnp.arange(g_pad) < g)
         mask = jnp.tile(valid, gr // g_pad)[:, None]
         scales = jnp.where(mask, scales, 0.0)
-        scales = jax.device_put(scales, sharding.scales)
-        zs = scales * (8.0 + 128.0)
-        return QTensorTPU(qw, scales, zs, n_local, n_out_local)
+        z128 = jnp.full((gr, d_tot), 8.0 + 128.0)
+        meta = jnp.stack([scales, z128], axis=1).astype(
+            jnp.bfloat16).reshape(2 * gr, d_tot)
+        meta = jax.device_put(meta, sharding.meta)
+        return QTensorTPU(qw, meta, n_local, n_out_local)
 
     def layer(key, lsh):
         k1, k2, k3, k4 = jax.random.split(key, 4)

@@ -192,6 +192,32 @@ def pad_group_rows(arr: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def build_meta(scales: np.ndarray, zeros: np.ndarray, n: int,
+               d_pad: int) -> np.ndarray:
+    """Interleaved bf16 quant metadata for the kernel layout.
+
+    Returns (2 * n_pad/128, d_pad) bfloat16 with row 2i = scale of group i
+    and row 2i+1 = zero_i + 128 (bf16-EXACT: an integer in [128, 143]).
+    The kernel computes (x@(q+128) - sum(x)*(z+128)) * s, so the bf16
+    rounding of the scale is purely multiplicative on the dequantized
+    weight (<= 2^-8 relative — below AWQ's own 4-bit quantization error),
+    while the large (q+128)/(z+128) terms still cancel exactly in f32.
+    Padding rows/cols carry scale 0 so they contribute nothing. Halves
+    the metadata HBM traffic vs f32 (scale, zs) pairs — metadata is ~6%
+    of the per-token weight stream at 7B.
+    """
+    import ml_dtypes
+
+    g_pad = planar_pad(n) // GROUP_SIZE
+    s = pad_cols(pad_group_rows(np.asarray(scales, np.float32), n), d_pad)
+    z128 = pad_cols(pad_group_rows(
+        np.asarray(zeros, np.float32) + float(_PAIR_BIAS), n), d_pad)
+    meta = np.empty((g_pad, 2, d_pad), dtype=ml_dtypes.bfloat16)
+    meta[:, 0, :] = s.astype(ml_dtypes.bfloat16)
+    meta[:, 1, :] = z128.astype(ml_dtypes.bfloat16)
+    return meta.reshape(2 * g_pad, d_pad)
+
+
 def quantize_np(w: np.ndarray, group_size: int = GROUP_SIZE):
     """Simple AWQ-style asymmetric w4 quantizer (for tests & synthetic models).
 

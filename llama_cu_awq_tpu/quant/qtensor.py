@@ -94,25 +94,25 @@ def dequant_expand(qw: jax.Array, zeros: jax.Array, scales: jax.Array,
 class QTensorTPU:
     """Packed 4-bit weight in the TPU kernel ("planar") layout.
 
-    qw:     uint32 (n_pad/8, d_pad) — see packing.to_planar (pair-planar)
-    scales: float32 (n_pad/128, d_pad)
-    zs:     float32 (n_pad/128, d_pad) — precomputed (zero + 128) * scale
-            (the +128 cancels the bf16 exponent-bias trick in the kernel)
+    qw:   uint32 (n_pad/8, d_pad) — see packing.to_planar (pair-planar)
+    meta: bfloat16 (2 * n_pad/128, d_pad) — interleaved per-group
+          metadata (packing.build_meta): row 2i = scale of group i,
+          row 2i+1 = zero_i + 128 (bf16-exact; the +128 cancels the
+          kernel's bf16 exponent-bias unpack trick)
 
     n_pad pads input rows to the 512-row planar block; d_pad pads output
     columns to the kernel's preferred lane tile (packing.out_pad).
-    Padding rows/columns carry scale == zs == 0, so they contribute
-    nothing; the matmul wrapper slices the output back to n_out.
+    Padding rows/columns carry scale 0, so they contribute nothing; the
+    matmul wrapper slices the output back to n_out.
     """
 
     qw: jax.Array
-    scales: jax.Array
-    zs: jax.Array
+    meta: jax.Array
     n_in: int
     n_out: int
 
     def tree_flatten(self):
-        return (self.qw, self.scales, self.zs), (self.n_in, self.n_out)
+        return (self.qw, self.meta), (self.n_in, self.n_out)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -132,7 +132,8 @@ class QTensorTPU:
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Dense (n_in, n_out) weight from the pair-planar layout
-        (oracle/CPU fallback path): w = (q + 128)*s - zs."""
+        (oracle/CPU fallback path): w = ((q+128) - (z+128)) * s with the
+        kernel's exact metadata (bf16 scale -> f32)."""
         rows, d = self.qw.shape[-2], self.qw.shape[-1]
         c = rows // 64
         w = self.qw.reshape(c, 1, 64, 1, d)
@@ -142,23 +143,21 @@ class QTensorTPU:
              (w >> (shifts + 16)) & jnp.uint32(0xF)], axis=3)
         q = halves.astype(jnp.float32).reshape(c * 4 * 64 * 2, d)[: self.n_in]
         gidx = jnp.arange(self.n_in) // GROUP_SIZE
-        dense = (q + 128.0) * self.scales[gidx] - self.zs[gidx]
+        meta = self.meta.astype(jnp.float32).reshape(-1, 2, d)
+        s, z128 = meta[gidx, 0], meta[gidx, 1]
+        dense = ((q + 128.0) - z128) * s
         return dense[:, : self.n_out].astype(dtype)
 
 
 def to_tpu_layout(qt: QTensor) -> QTensorTPU:
     """Repack a canonical QTensor into the planar kernel layout (host)."""
     qw = np.asarray(qt.qw)
-    zeros = np.asarray(qt.zeros).astype(np.float32)
-    scales = np.asarray(qt.scales)
     d_pad = packing.out_pad(qt.n_out)
     planar = packing.pad_cols(packing.to_planar(qw, qt.n_in), d_pad)
-    s_pad = packing.pad_cols(
-        packing.pad_group_rows(scales, qt.n_in), d_pad)
-    zs_pad = packing.pad_cols(
-        packing.pad_group_rows((zeros + 128.0) * scales, qt.n_in), d_pad)
-    return QTensorTPU(jnp.asarray(planar), jnp.asarray(s_pad),
-                      jnp.asarray(zs_pad), qt.n_in, qt.n_out)
+    meta = packing.build_meta(np.asarray(qt.scales), np.asarray(qt.zeros),
+                              qt.n_in, d_pad)
+    return QTensorTPU(jnp.asarray(planar), jnp.asarray(meta),
+                      qt.n_in, qt.n_out)
 
 
 def concat_qtensors(tensors: list[QTensor]) -> QTensor:

@@ -40,8 +40,11 @@ def test_tpu_layout_dequantize_matches_canonical(rng):
     w = rng.standard_normal((n, d), dtype=np.float32) * 0.05
     qt = QTensor.quantize(w)
     qtt = to_tpu_layout(qt)
-    np.testing.assert_array_equal(np.asarray(qt.dequantize()),
-                                  np.asarray(qtt.dequantize()))
+    # the TPU layout stores scales in bf16 (packing.build_meta): purely
+    # multiplicative rounding <= 2^-8 relative vs the f32 canonical path
+    np.testing.assert_allclose(np.asarray(qt.dequantize()),
+                               np.asarray(qtt.dequantize()),
+                               rtol=2 ** -8, atol=0)
 
 
 @pytest.mark.parametrize("batch,n,d", [
@@ -99,5 +102,6 @@ def test_forward_with_tpu_layout_matches_canonical(tiny_config):
                     matmul_impl="dequant", logits_all=True)
     l2, _ = forward(p2, cfg, tokens, pos, c2, act_dtype=jnp.float32,
                     matmul_impl="dequant", logits_all=True)
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5,
-                               atol=1e-6)
+    # planar weights carry bf16 scales (multiplicative <= 2^-8 per weight)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-2,
+                               atol=2e-2)

@@ -29,8 +29,11 @@ def tp_config():
 
 
 def _single_device_logits(ckpt, tokens):
+    # tpu_layout=True so both sides carry the same bf16-scale metadata
+    # and the comparison isolates the SHARDING logic
     cfg = ckpt.config
-    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32,
+                                    tpu_layout=True)
     cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
     logits, _ = forward(params, cfg, jnp.asarray([tokens]),
                         jnp.zeros(1, jnp.int32), cache, attn_len=32,

@@ -67,7 +67,8 @@ class BatchEngine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  tokenizer=None, *, n_slots: int = 8,
                  max_seq: int | None = None, act_dtype=jnp.bfloat16,
-                 matmul_impl: str | None = None, temperature: float = 0.0,
+                 matmul_impl: str | None = None,
+                 attn_impl: str | None = None, temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
                  prefer_native_scheduler: bool = True):
         self.params = params
@@ -77,6 +78,7 @@ class BatchEngine:
         self.max_seq = max_seq or min(512, cfg.seq_len)
         self.act_dtype = act_dtype
         self.matmul_impl = matmul_impl
+        self.attn_impl = attn_impl
         self.temperature = temperature
         self.topp = topp
         self.rng = XorshiftRNG(seed)
@@ -133,7 +135,7 @@ class BatchEngine:
                 logits, cache = forward(
                     params, self.cfg, tokens[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
-                    matmul_impl=self.matmul_impl)
+                    matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
                 nxt = sample_token(logits, coin, self.temperature, self.topp)
                 nxt = nxt[:, 0] if nxt.ndim > 1 else nxt
                 nxt = jnp.where(nxt >= self.cfg.vocab_size, 0, nxt)

@@ -58,6 +58,7 @@ class InferenceEngine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  tokenizer: Tokenizer | None = None, *,
                  act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
+                 attn_impl: str | None = None,
                  max_seq: int | None = None, temperature: float = 0.5,
                  topp: float = 0.6, seed: int = 0, chunk_size: int = 16):
         self.params = params
@@ -65,6 +66,7 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.act_dtype = act_dtype
         self.matmul_impl = matmul_impl
+        self.attn_impl = attn_impl
         self.max_seq = max_seq or cfg.seq_len
         self.temperature = temperature
         self.topp = topp
@@ -91,7 +93,7 @@ class InferenceEngine:
             logits, cache = forward(
                 params, self.cfg, token[:, None], pos, cache,
                 attn_len=attn_len, act_dtype=self.act_dtype,
-                matmul_impl=self.matmul_impl)
+                matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
             nxt = sample_token(logits, coin, self.temperature, self.topp)
             return nxt[:, 0] if nxt.ndim > 1 else nxt, logits, cache
 
@@ -114,7 +116,7 @@ class InferenceEngine:
                 logits, cache = forward(
                     params, self.cfg, token[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
-                    matmul_impl=self.matmul_impl)
+                    matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
                 nxt = sample_token(logits, coin, self.temperature, self.topp)
                 nxt = nxt[:, 0] if nxt.ndim > 1 else nxt
                 # garbage-token clamp (llama2_q4.cu:474)
@@ -137,7 +139,7 @@ class InferenceEngine:
             logits, cache = forward(
                 params, self.cfg, tokens, pos, cache, attn_len=attn_len,
                 act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
-                logits_all=logits_all)
+                attn_impl=self.attn_impl, logits_all=logits_all)
             return logits, cache
 
         return prefill

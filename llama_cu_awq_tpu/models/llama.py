@@ -158,9 +158,11 @@ def params_from_checkpoint(ckpt: RawCheckpoint, param_dtype=None,
 
 
 def synthetic_params(cfg: ModelConfig, seed: int = 0,
-                     tpu_layout: bool = True) -> LlamaParams:
+                     tpu_layout: bool = True,
+                     param_dtype=jnp.bfloat16) -> LlamaParams:
     """Random weights generated directly on device (benchmarks at 7B scale
-    without a checkpoint on disk)."""
+    without a checkpoint on disk). embed/lm_head default to bf16, the
+    TPU-native storage (real checkpoints keep fp16 unless converted)."""
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 2 + cfg.n_layers)
     dim, kv, hid, vocab = cfg.dim, cfg.kv_dim, cfg.hidden_dim, cfg.vocab_size
@@ -200,8 +202,8 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
         )
 
     return LlamaParams(
-        embed=jax.random.normal(ks[0], (vocab, dim), jnp.float16) * 0.02,
-        lm_head=jax.random.normal(ks[1], (vocab, dim), jnp.float16) * 0.02,
+        embed=jax.random.normal(ks[0], (vocab, dim), param_dtype) * 0.02,
+        lm_head=jax.random.normal(ks[1], (vocab, dim), param_dtype) * 0.02,
         final_norm=jnp.ones((dim,), jnp.float32),
         layers=[layer(ks[2 + i]) for i in range(cfg.n_layers)],
     )
@@ -220,7 +222,8 @@ def _update_cache(cache_l: jax.Array, new: jax.Array,
     return jax.vmap(upd)(cache_l, new, pos)
 
 
-def _attention(q, k_cache, v_cache, pos, act_dtype) -> jax.Array:
+def _attention(q, k_cache, v_cache, pos, act_dtype,
+               impl: str | None = None) -> jax.Array:
     """GQA attention over the cache slice (reference: MultiHeadAttention,
     llama2_q4.cu:267-284 + gpu_kernels.h:142-168,279-329,357-446).
 
@@ -228,8 +231,23 @@ def _attention(q, k_cache, v_cache, pos, act_dtype) -> jax.Array:
     block's keys/values; pos: (B,) first absolute position of the block.
     Head counts come from the operand shapes so the same code serves
     full and tensor-parallel (per-shard) views.
+
+    impl == "flash" routes decode steps (T == 1) to the blockwise Pallas
+    kernel (ops/pallas/decode_attention.py). Measured on v5e at 7B
+    (32 kv heads, buckets <= 512): the XLA einsum path is ~2% faster
+    end-to-end — its batched matvec beats the kernel's per-head small
+    dots — so einsum is the default; the kernel is the scaling path for
+    long windows where a materialized (H, A) score tensor would thrash.
     """
     B, T, H, D = q.shape
+    if T == 1 and impl == "flash":
+        from llama_cu_awq_tpu.ops.linear import _on_tpu
+        from llama_cu_awq_tpu.ops.pallas import decode_attention as da
+
+        if da.supports(q.reshape(B, H, D), k_cache):
+            out = da.decode_attention(q.reshape(B, H, D), k_cache, v_cache,
+                                      pos, interpret=not _on_tpu())
+            return out.reshape(B, 1, H * D)
     A, n_kv = k_cache.shape[1], k_cache.shape[2]
     kv_mul = H // n_kv
     # operands stay in act_dtype (bf16 -> native MXU), f32 accumulation
@@ -257,6 +275,7 @@ def _attention(q, k_cache, v_cache, pos, act_dtype) -> jax.Array:
 def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             pos: jax.Array, cache: KVCache, *, attn_len: int | None = None,
             act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
+            attn_impl: str | None = None,
             logits_all: bool = False, tp_axis: str | None = None,
             tp_size: int = 1):
     """Run the network over a token block.
@@ -302,7 +321,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         new_k.append(k_cache_l)
         new_v.append(v_cache_l)
         attn = _attention(qh, k_cache_l[:, :A], v_cache_l[:, :A], pos,
-                          act_dtype).astype(act_dtype)
+                          act_dtype, attn_impl).astype(act_dtype)
         # o-proj with fused residual accumulate (llama2_q4.cu:323);
         # row-parallel under TP: partial sums reduced over the tp axis
         o_part = qmatmul(attn, layer.wo, matmul_impl)
@@ -325,7 +344,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # classifier GEMV (llama2_q4.cu:339); operands in lm_head's storage
     # dtype (fp16/bf16) with f32 accumulation, matching mat_vec_kernel.
     # Under TP the lm_head is vocab-sharded; gather the logits shards.
-    logits = dense_matmul(x.astype(params.lm_head.dtype), params.lm_head)
+    logits = dense_matmul(x.astype(params.lm_head.dtype), params.lm_head,
+                          matmul_impl)
     if tp_axis:
         logits = lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                 tiled=True)

@@ -69,9 +69,24 @@ def qmatmul(x: jax.Array, qt, impl: str | None = None) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def dense_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+def dense_matmul(x: jax.Array, w: jax.Array,
+                 impl: str | None = None) -> jax.Array:
     """Dense matmul with f32 accumulation; w is (n_out, n_in) row-major
     like the reference's wcls (gpu_kernels.h:109-139). Operands keep
-    their storage dtype (bf16 on TPU -> native MXU path)."""
+    their storage dtype (bf16 on TPU -> native MXU path).
+
+    On TPU, small-batch bf16 GEMVs route to the Pallas streaming kernel
+    (ops/pallas/dense_gemv.py) — XLA's generic batch-1 matmul leaves
+    ~2.5x HBM bandwidth on the table for the 262 MB lm_head read.
+    """
+    impl = impl or _DEFAULT_IMPL
+    if impl in ("auto", "pallas") and _on_tpu():
+        from llama_cu_awq_tpu.ops.pallas.dense_gemv import (
+            dense_gemv,
+            supports,
+        )
+
+        if supports(x, w):
+            return dense_gemv(x, w)
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)

@@ -1,0 +1,96 @@
+"""Dense bf16 matvec/matmul Pallas kernel for the lm_head / classifier.
+
+The TPU-native analog of the reference's fp16 GEMV (mat_vec_kernel,
+gpu_kernels.h:109-139), which exists because the lm_head is the one
+unquantized weight on the per-token critical path (262 MB at 7B — ~7% of
+the token's HBM budget). XLA's generic batch-1 matmul on v5e measures at
+~300 GB/s; this kernel streams the weight rows through VMEM in large
+row-tiles with one MXU dot_general per tile and reaches near HBM
+speed-of-light.
+
+out[m, v] = sum_d x[m, d] * w[v, d]   (w row-major (vocab, dim), i.e.
+the checkpoint's wcls layout, llama2_q4.cu:181).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# target ~5 MB weight tiles: big enough to stream at full bandwidth,
+# small enough that the double-buffered pipeline stays inside the
+# compiler's 16 MB scoped-VMEM budget alongside the x/out blocks
+_TILE_BYTES = 5 << 20
+
+
+def _kernel(x_ref, w_ref, o_ref):
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _pick_tile(v: int, d: int, itemsize: int) -> int | None:
+    """Largest row count that divides v, is a multiple of 128 (it is the
+    LANE dim of the output block), and fits the tile budget; None if v
+    is awkward (llama vocab 32000 -> 1280)."""
+    budget = max(_TILE_BYTES // (d * itemsize), 128)
+    best = None
+    for t in range(128, min(v, budget) + 1, 128):
+        if v % t == 0:
+            best = t
+    return best
+
+
+def supports(x: jax.Array, w: jax.Array, max_m: int = 256) -> bool:
+    v, d = w.shape
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    return (w.dtype == jnp.bfloat16 and x.shape[-1] == d
+            and d % 128 == 0 and m <= max_m
+            and _pick_tile(v, d, 2) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gemv_2d(x2: jax.Array, w: jax.Array, *, interpret=False) -> jax.Array:
+    m, d = x2.shape
+    v, _ = w.shape
+    tile_v = _pick_tile(v, d, w.dtype.itemsize)
+    cost = pl.CostEstimate(
+        flops=2 * m * d * v,
+        bytes_accessed=v * d * w.dtype.itemsize + m * d * 2 + m * v * 4,
+        transcendentals=0)
+    return pl.pallas_call(
+        _kernel,
+        grid=(v // tile_v,),
+        in_specs=[
+            pl.BlockSpec((m, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_v, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, tile_v), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, v), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x2, w)
+
+
+def dense_gemv(x: jax.Array, w: jax.Array, *,
+               interpret: bool = False) -> jax.Array:
+    """x: (..., d) -> (..., v) f32 logits; w: (v, d) bf16 row-major."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    out = _gemv_2d(x.reshape(m, d).astype(jnp.bfloat16), w,
+                   interpret=interpret)
+    return out.reshape(*lead, w.shape[0])

@@ -114,15 +114,15 @@ def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
     if tile_d is None:
         raise ValueError(f"d_pad={d_pad} not a multiple of 128")
     d_tiles = d_pad // tile_d
-    # measured on v5e: ~1 MB qw blocks with a deep grid stream fastest;
-    # chunks=4 when the d sweep alone gives pipeline depth, else 2
-    if n_chunks % 4 == 0 and d_tiles >= 4:
+    # measured on v5e: ~1-2 MB qw blocks with a deep grid stream fastest;
+    # chunks=4 when the total grid keeps >= 4 steps of pipeline, else 2
+    if n_chunks % 4 == 0 and n_chunks // 4 * d_tiles >= 4:
         chunks = 4
     elif n_chunks % 2 == 0:
         chunks = 2
     else:
         chunks = n_chunks  # odd chunk counts: whole-array block (sublane
-        #                    constraint: 4*chunks%8==0 unless full array)
+        #                    constraint: 8*chunks%16==0 unless full array)
     return tile_d, chunks
 
 

@@ -1,0 +1,49 @@
+"""Dense bf16 GEMV Pallas kernel vs jnp.dot oracle (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cu_awq_tpu.ops.pallas.dense_gemv import (
+    _pick_tile,
+    dense_gemv,
+    supports,
+)
+
+
+@pytest.mark.parametrize("m,v,d", [
+    (1, 512, 128),      # single tile
+    (1, 32000, 256),    # llama vocab: tile must divide 32000
+    (4, 1024, 384),
+    (128, 2048, 256),   # prefill logits_all block
+])
+def test_gemv_matches_oracle(rng, m, v, d):
+    w = jnp.asarray(rng.standard_normal((v, d)) * 0.05, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((m, d)), jnp.bfloat16)
+    out = np.asarray(dense_gemv(x, w, interpret=True))
+    expect = np.asarray(
+        jnp.dot(x, w.T, preferred_element_type=jnp.float32))
+    assert out.shape == (m, v)
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_gemv_3d_and_tiles(rng):
+    w = jnp.asarray(rng.standard_normal((512, 128)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 3, 128)), jnp.bfloat16)
+    out = dense_gemv(x, w, interpret=True)
+    assert out.shape == (2, 3, 512)
+
+    # 32000 = 2000 * 16: a 16-multiple tile must exist for llama vocab
+    assert _pick_tile(32000, 4096, 2) is not None
+    assert 32000 % _pick_tile(32000, 4096, 2) == 0
+    assert _pick_tile(100, 128, 2) is None  # no 16-multiple divisor
+
+
+def test_supports_gate():
+    w16 = jnp.zeros((512, 128), jnp.bfloat16)
+    x = jnp.zeros((1, 128), jnp.bfloat16)
+    assert supports(x, w16)
+    assert not supports(x, jnp.zeros((512, 128), jnp.float16))  # dtype
+    assert not supports(jnp.zeros((512, 128), jnp.bfloat16), w16)  # m cap
+    assert not supports(jnp.zeros((1, 100), jnp.bfloat16),
+                        jnp.zeros((512, 100), jnp.bfloat16))  # lane align

@@ -26,11 +26,16 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="7b", choices=["7b", "13b", "tiny"])
+    ap.add_argument("--mode", default="decode", choices=["decode", "batch"],
+                    help="decode: batch-1 tok/s (headline); batch: "
+                         "continuous-batching aggregate tok/s")
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--max-seq", type=int, default=None)
     ap.add_argument("--chunk-size", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -65,9 +70,13 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     log(f"params ready in {time.time()-t0:.1f}s")
 
+    impl = "pallas" if on_tpu else "dequant"
+    if args.mode == "batch":
+        return bench_batch(args, cfg, params, max_seq, impl)
+
     engine = InferenceEngine(
         params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
-        matmul_impl="pallas" if on_tpu else "dequant",
+        matmul_impl=impl,
         max_seq=max_seq, temperature=0.0, seed=1234,
         chunk_size=args.chunk_size)
 
@@ -93,6 +102,53 @@ def main():
         "vs_baseline": round(best / BASELINE_TOK_S, 4),
     }
     print(json.dumps(result))
+
+
+def bench_batch(args, cfg, params, max_seq, impl):
+    """Continuous-batching aggregate throughput: N requests over S slots,
+    one chip (BASELINE.json's continuous-batching axis). Decode is
+    weight-bandwidth-bound, so aggregate tok/s should approach
+    slots x batch-1 tok/s until the KV-cache bandwidth bites."""
+    import time
+
+    import jax.numpy as jnp
+
+    from llama_cu_awq_tpu.engine.batch import BatchEngine
+    from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
+
+    steps = min(args.steps, max_seq - 2 - args.prompt_len)
+    prompts = [[BOS_TOKEN] + [5 + (i + j) % 500 for j in range(
+        args.prompt_len - 1)] for i in range(args.requests)]
+
+    eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
+                      act_dtype=jnp.bfloat16, matmul_impl=impl,
+                      temperature=0.0, chunk_size=args.chunk_size)
+
+    def one_run():
+        eng.reset()
+        for p in prompts:
+            eng.submit(p, max_new=steps)
+        t0 = time.time()
+        out = eng.run()
+        dt = time.time() - t0
+        total = sum(len(v) for v in out.values())
+        return total, dt, total / dt
+
+    log("warmup (compiles batched prefill + decode buckets)...")
+    one_run()
+    best = 0.0
+    for i in range(args.repeats):
+        total, dt, tok_s = one_run()
+        log(f"run {i}: {args.requests} requests, {total} tokens in "
+            f"{dt:.2f}s -> {tok_s:.1f} tok/s aggregate")
+        best = max(best, tok_s)
+    print(json.dumps({
+        "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
+                  f"_r{args.requests}",
+        "value": round(best, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(best / BASELINE_TOK_S, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -84,6 +84,7 @@ class BatchEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self._buckets = attn_buckets(self.max_seq)
+        self._prefer_native = prefer_native_scheduler
         self.scheduler = make_scheduler(n_slots, self.max_seq,
                                         prefer_native=prefer_native_scheduler)
         self.cache = init_kv_cache(cfg, n_slots, self.max_seq,
@@ -92,6 +93,7 @@ class BatchEngine:
         self.last_token = np.zeros(n_slots, np.int32)
         self._requests: dict[int, _Req] = {}
         self._slot_req: list[_Req | None] = [None] * n_slots
+        self._pending: list[list[int]] = [[] for _ in range(n_slots)]
         self._next_id = 0
 
     # ------------------------------------------------------------------
@@ -125,15 +127,29 @@ class BatchEngine:
 
     @functools.cached_property
     def _decode_chunk_fn(self):
-        """K batched decode steps on device; coins: (K, S)."""
+        """K batched MIXED prefill/decode steps on device.
+
+        Each step, every slot consumes one token: a teacher-forced prompt
+        token where force_mask is set (the batched analog of the
+        reference's gen_token=false prompt phase, gpu_kernels.h:486-487)
+        or the slot's previously sampled token. This is what makes the
+        batching *continuous*: a freshly admitted request's prompt feeds
+        through the same weight reads that decode the other slots, so
+        admission costs no extra weight bandwidth at all.
+
+        coins/forced/force_mask: (K, S); tokens: (S,) sampled carries.
+        """
 
         @functools.partial(jax.jit, static_argnames=("attn_len",),
                            donate_argnames=("cache",))
-        def chunk(params, tokens, pos, cache, coins, *, attn_len):
-            def body(carry, coin):
+        def chunk(params, tokens, pos, cache, coins, forced, force_mask,
+                  *, attn_len):
+            def body(carry, xs):
                 tokens, pos, cache = carry
+                coin, f_tok, f_on = xs
+                in_tok = jnp.where(f_on, f_tok, tokens)
                 logits, cache = forward(
-                    params, self.cfg, tokens[:, None], pos, cache,
+                    params, self.cfg, in_tok[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
                     matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
                 nxt = sample_token(logits, coin, self.temperature, self.topp)
@@ -141,13 +157,26 @@ class BatchEngine:
                 nxt = jnp.where(nxt >= self.cfg.vocab_size, 0, nxt)
                 return (nxt, pos + 1, cache), nxt
 
-            (_, _, cache), toks = lax.scan(body, (tokens, pos, cache), coins)
+            (_, _, cache), toks = lax.scan(
+                body, (tokens, pos, cache), (coins, forced, force_mask))
             return toks, cache  # toks: (K, S)
 
         return chunk
 
     # ------------------------------------------------------------------
     # public API
+
+    def reset(self):
+        """Clear all requests and per-slot state; keeps compiled steps."""
+        self.scheduler = make_scheduler(self.n_slots, self.max_seq,
+                                        prefer_native=self._prefer_native)
+        self.cache = init_kv_cache(self.cfg, self.n_slots, self.max_seq,
+                                   dtype=self.act_dtype)
+        self.pos = np.zeros(self.n_slots, np.int32)
+        self.last_token = np.zeros(self.n_slots, np.int32)
+        self._requests = {}
+        self._slot_req = [None] * self.n_slots
+        self._pending = [[] for _ in range(self.n_slots)]
 
     def submit(self, prompt: str | list[int], max_new: int = 0) -> int:
         """Queue a request; returns its id. prompt may be text (needs a
@@ -170,63 +199,114 @@ class BatchEngine:
         assert ok, "scheduler rejected a size-checked request"
         return rid
 
+    # prompts up to this length feed through forced decode steps (free —
+    # they share the batch's weight reads); longer ones get a dedicated
+    # compute-bound block prefill on their slot first
+    FORCED_PROMPT_MAX = 48
+
     def _admit(self):
         for slot, rid in self.scheduler.admit():
             req = self._requests[rid]
             self._slot_req[slot] = req
             tokens = req.prompt
-            # teacher-force all but the last prompt token; the last one
-            # seeds the first decode step (engine.py generate parity)
-            pos = 0
-            body = tokens[:-1]
-            i = 0
-            while i < len(body):
-                chunk = body[i:i + PREFILL_BLOCK]
-                block = 1 if len(chunk) == 1 else PREFILL_BLOCK
-                if pos + block > self.max_seq:
-                    # padded block would clamp the dynamic cache write at
-                    # the boundary (engine.py _prefill's fallback)
-                    block, chunk = 1, body[i:i + 1]
-                padded = chunk + [0] * (block - len(chunk))
-                attn_len = self._bucket_for(pos + block)
-                self.cache = self._prefill_slot_fn(
-                    self.params, jnp.asarray([padded], jnp.int32),
-                    jnp.asarray(pos, jnp.int32), self.cache,
-                    jnp.asarray(slot, jnp.int32),
-                    block=block, attn_len=attn_len)
-                pos += len(chunk)
-                i += len(chunk)
-            self.pos[slot] = len(tokens) - 1
-            self.last_token[slot] = tokens[-1]
+            if len(tokens) <= self.FORCED_PROMPT_MAX:
+                self.pos[slot] = 0
+                self._pending[slot] = list(tokens)
+            else:
+                # block-prefill all but the last prompt token on this
+                # slot's cache rows; the last token joins the forced
+                # stream so its logits come from the batched step
+                pos = 0
+                body = tokens[:-1]
+                i = 0
+                while i < len(body):
+                    chunk = body[i:i + PREFILL_BLOCK]
+                    block = 1 if len(chunk) == 1 else PREFILL_BLOCK
+                    if pos + block > self.max_seq:
+                        # padded block would clamp the dynamic cache write
+                        # at the boundary (engine.py _prefill's fallback)
+                        block, chunk = 1, body[i:i + 1]
+                    padded = chunk + [0] * (block - len(chunk))
+                    attn_len = self._bucket_for(pos + block)
+                    self.cache = self._prefill_slot_fn(
+                        self.params, jnp.asarray([padded], jnp.int32),
+                        jnp.asarray(pos, jnp.int32), self.cache,
+                        jnp.asarray(slot, jnp.int32),
+                        block=block, attn_len=attn_len)
+                    pos += len(chunk)
+                    i += len(chunk)
+                self.pos[slot] = len(tokens) - 1
+                self._pending[slot] = [tokens[-1]]
+            # self.last_token[slot] stays stale: the slot's first steps
+            # are forced (mask on), so the carry value is never consumed
+            # — and last_token may be an in-flight device slice here
 
-    def step(self) -> list[tuple[int, list[int], bool]]:
-        """Admit + one decode chunk. Returns [(request_id, new_tokens,
-        finished)] for every request that produced tokens this chunk."""
+    def _dispatch_chunk(self):
+        """Admit + enqueue one mixed prefill/decode chunk on the device
+        WITHOUT waiting for its tokens. Returns a chunk record for
+        _process_chunk, or None when no slot is active.
+
+        The device token carry chains chunk-to-chunk as a jax.Array
+        (self.last_token may hold either numpy or an unfetched device
+        slice), so a lookahead chunk needs NO host round-trip to start —
+        the host processes chunk N's tokens while chunk N+1 computes.
+        """
         self._admit()
         active = [s for s in range(self.n_slots)
                   if self._slot_req[s] is not None]
         if not active:
-            return []
+            return None
         k = self.chunk_size
         # a slot at the cache boundary caps the chunk length
         for s in active:
             k = min(k, self.max_seq - int(self.pos[s]))
         k = max(k, 1)
+
+        forced = np.zeros((k, self.n_slots), np.int32)
+        mask = np.zeros((k, self.n_slots), bool)
+        emit_from = {}  # slot -> first step whose sampled output counts
+        for s in active:
+            pend = self._pending[s]
+            n = min(len(pend), k)
+            forced[:n, s] = pend[:n]
+            mask[:n, s] = True
+            del pend[:n]
+            # the step consuming the LAST prompt token emits generation
+            # token #1; earlier forced outputs are teacher-forced noise
+            emit_from[s] = k if pend else max(n - 1, 0)
+
         coins = jnp.asarray(
             [[self.rng.random_f32() for _ in range(self.n_slots)]
              for _ in range(k)], jnp.float32)
         attn_len = self._bucket_for(int(self.pos[active].max()) + k)
         toks, self.cache = self._decode_chunk_fn(
             self.params, jnp.asarray(self.last_token), jnp.asarray(self.pos),
-            self.cache, coins, attn_len=attn_len)
-        host = np.asarray(toks)  # (k, S)
+            self.cache, coins, jnp.asarray(forced), jnp.asarray(mask),
+            attn_len=attn_len)
+        # owners recorded at dispatch: a slot freed while this chunk was
+        # in flight must have its tokens discarded at process time
+        owners = {s: self._slot_req[s] for s in active}
+        self.pos += k
+        self.last_token = toks[-1]  # device slice; no host sync
+        for s in range(self.n_slots):
+            if self._slot_req[s] is None:
+                self.pos[s] = 0  # park free slots (their writes land at
+                #                  row 0, which admission overwrites)
+        return {"toks": toks, "k": k, "owners": owners,
+                "emit_from": emit_from}
 
+    def _process_chunk(self, chunk) -> list[tuple[int, list[int], bool]]:
+        """Fetch a dispatched chunk's tokens (the host sync point) and
+        route them: request outputs, EOS/budget retirement, slot frees."""
+        host = np.asarray(chunk["toks"])  # (k, S)
+        k = chunk["k"]
         results = []
         now = time.time()
-        for s in active:
-            req = self._slot_req[s]
+        for s, req in chunk["owners"].items():
+            if self._slot_req[s] is not req or req.done:
+                continue  # slot retired while this chunk was in flight
             new = []
-            for step_i in range(k):
+            for step_i in range(chunk["emit_from"][s], k):
                 t = int(host[step_i, s])
                 finished = self.scheduler.on_token(s, t == EOS_TOKEN)
                 if t != EOS_TOKEN:
@@ -235,31 +315,42 @@ class BatchEngine:
                     req.done = True
                     req.finish_t = now
                     self._slot_req[s] = None
+                    self._pending[s] = []
                     break
             if new and req.first_token_t is None:
                 req.first_token_t = now
             req.out.extend(new)
-            results.append((req.id, new, req.done))
-        # all slots advanced k rows on device (garbage for retired ones —
-        # re-prefilled on reuse); keep host pos in sync with the device
-        self.pos += k
-        self.last_token = host[-1].copy()
-        for s in range(self.n_slots):
-            if self._slot_req[s] is None:
-                self.pos[s] = 0  # park free slots (their writes land at
-                #                  row 0, which admission re-prefills)
+            if new or req.done:
+                results.append((req.id, new, req.done))
         return results
+
+    def step(self) -> list[tuple[int, list[int], bool]]:
+        """Admit + one decode chunk, synchronously. Returns [(request_id,
+        new_tokens, finished)] for every request that produced tokens."""
+        chunk = self._dispatch_chunk()
+        return self._process_chunk(chunk) if chunk else []
 
     @property
     def pending(self) -> int:
         return self.scheduler.num_active + self.scheduler.num_queued
 
     def run(self, max_chunks: int = 10_000) -> dict[int, list[int]]:
-        """Drain all queued/active requests; returns id -> tokens."""
+        """Drain all queued/active requests with one chunk of lookahead:
+        chunk N+1 computes on device while the host fetches and routes
+        chunk N's tokens (retired slots are reused one chunk late — the
+        price of never letting the device go idle)."""
         chunks = 0
-        while self.pending and chunks < max_chunks:
-            self.step()
+        in_flight = None
+        while chunks < max_chunks:
+            nxt = self._dispatch_chunk() if self.pending else None
+            if in_flight is None and nxt is None:
+                break
+            if in_flight:
+                self._process_chunk(in_flight)
+            in_flight = nxt
             chunks += 1
+        if in_flight:
+            self._process_chunk(in_flight)
         return {rid: r.out for rid, r in self._requests.items()}
 
     def stats(self) -> dict:

@@ -130,6 +130,31 @@ class InferenceEngine:
         return chunk
 
     @functools.cached_property
+    def _forced_chunk_fn(self):
+        """K teacher-forced steps on device (the reference's prompt phase,
+        gen_token=false — llama2_q4.cu:579, gpu_kernels.h:486-487): one
+        scan feeding each prompt token through the decode path with no
+        lm_head/sampling. For short prompts this beats a padded
+        PREFILL_BLOCK pass by a wide margin."""
+
+        @functools.partial(
+            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+        def chunk(params, tokens, pos, cache, *, attn_len):
+            def body(carry, tok):
+                pos, cache = carry
+                _, cache = forward(
+                    params, self.cfg, tok[:, None], pos, cache,
+                    attn_len=attn_len, act_dtype=self.act_dtype,
+                    matmul_impl=self.matmul_impl, attn_impl=self.attn_impl,
+                    no_logits=True)
+                return (pos + 1, cache), None
+
+            (_, cache), _ = jax.lax.scan(body, (pos, cache), tokens)
+            return cache
+
+        return chunk
+
+    @functools.cached_property
     def _prefill_fn(self):
         @functools.partial(
             jax.jit, static_argnames=("block", "attn_len", "logits_all"),
@@ -158,6 +183,18 @@ class InferenceEngine:
         (len(tokens), vocab) when collect_logits (perplexity mode).
         """
         assert tokens
+        if not collect_logits and len(tokens) < PREFILL_BLOCK // 2:
+            # short prompt: teacher-forced device chunk (no lm_head) beats
+            # a padded full-width block; callers of this path only need
+            # the cache (they seed decoding with the last prompt token)
+            attn_len = self._bucket_for(self.pos + len(tokens))
+            self.cache = self._forced_chunk_fn(
+                self.params,
+                jnp.asarray(tokens, jnp.int32)[:, None],
+                jnp.asarray([self.pos], jnp.int32), self.cache,
+                attn_len=attn_len)
+            self.pos += len(tokens)
+            return None
         out_logits = []
         i = 0
         last_logits = None

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 # target ~5 MB weight tiles: big enough to stream at full bandwidth,
 # small enough that the double-buffered pipeline stays inside the
 # compiler's 16 MB scoped-VMEM budget alongside the x/out blocks
-_TILE_BYTES = 5 << 20
+_TILE_BYTES = int(__import__("os").environ.get("LLAMA_GEMV_TILE_MB", 5)) << 20
 
 
 def _kernel(x_ref, w_ref, o_ref):

@@ -83,6 +83,26 @@ def test_single_slot_degenerates_to_sequential(tiny_model):
                                        6)[:len(out[r2])]
 
 
+def test_long_prompt_block_prefill_path(tiny_model):
+    """Prompts over FORCED_PROMPT_MAX take the dedicated block-prefill
+    admission path; greedy output must still match the single engine."""
+    params, cfg = tiny_model
+    prompt = [BOS_TOKEN] + [(17 * i) % 500 for i in range(60)]
+    n_new = 6
+    expected = greedy_reference(params, cfg, prompt, n_new)
+    be = BatchEngine(params, cfg, n_slots=2, max_seq=96,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     temperature=0.0, chunk_size=4,
+                     prefer_native_scheduler=False)
+    assert len(prompt) > be.FORCED_PROMPT_MAX
+    rid = be.submit(prompt, max_new=n_new)
+    rid2 = be.submit([BOS_TOKEN, 42], max_new=n_new)  # mixed with short
+    out = be.run()
+    assert out[rid] == expected[:len(out[rid])] and out[rid]
+    assert out[rid2] == greedy_reference(params, cfg, [BOS_TOKEN, 42],
+                                         n_new)[:len(out[rid2])]
+
+
 def test_capacity_cutoff(tiny_model):
     """A request near the cache boundary stops at max_seq."""
     params, cfg = tiny_model

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of run 0 into DIR")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (batch mode: halves KV bandwidth)")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +94,14 @@ def main():
 
     best = 0.0
     for i in range(args.repeats):
-        tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
+        if i == 0 and args.profile:
+            from llama_cu_awq_tpu.utils import profile_trace
+
+            with profile_trace(args.profile):
+                tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
+            log(f"profiler trace written to {args.profile}")
+        else:
+            tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
         log(f"run {i}: {len(tokens)} generated, {steps-1} timed steps "
             f"in {dt:.3f}s -> {tok_s:.2f} tok/s")
         best = max(best, tok_s)
@@ -122,6 +133,7 @@ def bench_batch(args, cfg, params, max_seq, impl):
 
     eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
+                      kv_quant=args.kv_quant,
                       temperature=0.0, chunk_size=args.chunk_size)
 
     def one_run():
@@ -144,7 +156,7 @@ def bench_batch(args, cfg, params, max_seq, impl):
         best = max(best, tok_s)
     print(json.dumps({
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
-                  f"_r{args.requests}",
+                  f"_r{args.requests}" + ("_kvq8" if args.kv_quant else ""),
         "value": round(best, 1),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

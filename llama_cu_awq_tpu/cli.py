@@ -46,6 +46,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["bfloat16", "float16", "float32"])
     ap.add_argument("--max-seq", type=int, default=None,
                     help="cap the KV cache length below the model seq_len")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8-quantize the KV cache (halves its memory "
+                         "and bandwidth; near-lossless)")
+    ap.add_argument("--attn-impl", default=None, choices=["flash"],
+                    help="use the blockwise Pallas decode-attention kernel")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu); overrides the "
                          "site default")
@@ -100,33 +107,46 @@ def main(argv=None) -> int:
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)
     engine = InferenceEngine(
         params, ckpt.config, tokenizer, act_dtype=act_dtype,
-        matmul_impl=args.matmul_impl, temperature=args.temperature,
+        matmul_impl=args.matmul_impl, attn_impl=args.attn_impl,
+        kv_quant=args.kv_quant, temperature=args.temperature,
         topp=args.topp, seed=args.seed,
         max_seq=args.max_seq or ckpt.config.seq_len)
 
-    if perplexity:
-        if not args.dataset:
-            print("perplexity mode requires -q <dataset file>",
-                  file=sys.stderr)
-            return 1
-        print("\nLoading Dataset...", end="", flush=True)
-        with open(args.dataset, "rb") as f:
-            text = f.read().decode("utf-8", errors="replace")
-        print("done!")
-        geo, count, _ = dataset_perplexity(engine, text, verbose=True)
-        print(f"\nGeomean perplexity on {count} sequences: {geo:f}\n")
-    elif args.mode == "generate":
-        print("\nEncoding Prompt... Done!")
+    if args.profile:
+        import contextlib
 
-        def emit(piece):
-            print(piece, end="", flush=True)
+        from llama_cu_awq_tpu.utils import profile_trace
 
-        _, stats = engine.generate(prompt or "", args.steps, on_piece=emit,
-                                   echo=True)
-        print(f"\n\nachieved tok/s: {stats['tok_per_s']:f}. "
-              f"Tokens: {stats['tokens']}, seconds: {stats['seconds']:g}")
+        profile_cm = profile_trace(args.profile)
     else:
-        engine.chat_loop(prompt, args.system_prompt, args.steps)
+        import contextlib
+
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        if perplexity:
+            if not args.dataset:
+                print("perplexity mode requires -q <dataset file>",
+                      file=sys.stderr)
+                return 1
+            print("\nLoading Dataset...", end="", flush=True)
+            with open(args.dataset, "rb") as f:
+                text = f.read().decode("utf-8", errors="replace")
+            print("done!")
+            geo, count, _ = dataset_perplexity(engine, text, verbose=True)
+            print(f"\nGeomean perplexity on {count} sequences: {geo:f}\n")
+        elif args.mode == "generate":
+            print("\nEncoding Prompt... Done!")
+
+            def emit(piece):
+                print(piece, end="", flush=True)
+
+            _, stats = engine.generate(prompt or "", args.steps,
+                                       on_piece=emit, echo=True)
+            print(f"\n\nachieved tok/s: {stats['tok_per_s']:f}. "
+                  f"Tokens: {stats['tokens']}, seconds: {stats['seconds']:g}")
+        else:
+            engine.chat_loop(prompt, args.system_prompt, args.steps)
     return 0
 
 

@@ -68,7 +68,8 @@ class BatchEngine:
                  tokenizer=None, *, n_slots: int = 8,
                  max_seq: int | None = None, act_dtype=jnp.bfloat16,
                  matmul_impl: str | None = None,
-                 attn_impl: str | None = None, temperature: float = 0.0,
+                 attn_impl: str | None = None, kv_quant: bool = False,
+                 temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
                  prefer_native_scheduler: bool = True):
         self.params = params
@@ -84,11 +85,12 @@ class BatchEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self._buckets = attn_buckets(self.max_seq)
+        self.kv_quant = kv_quant
         self._prefer_native = prefer_native_scheduler
         self.scheduler = make_scheduler(n_slots, self.max_seq,
                                         prefer_native=prefer_native_scheduler)
         self.cache = init_kv_cache(cfg, n_slots, self.max_seq,
-                                   dtype=act_dtype)
+                                   dtype=act_dtype, quantized=kv_quant)
         self.pos = np.zeros(n_slots, np.int32)       # next write position
         self.last_token = np.zeros(n_slots, np.int32)
         self._requests: dict[int, _Req] = {}
@@ -111,17 +113,20 @@ class BatchEngine:
         @functools.partial(jax.jit, static_argnames=("block", "attn_len"),
                            donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
-            sub = KVCache(
-                [lax.dynamic_slice_in_dim(k, slot, 1, 0) for k in cache.k],
-                [lax.dynamic_slice_in_dim(v, slot, 1, 0) for v in cache.v])
+            def take(arrs):
+                return [lax.dynamic_slice_in_dim(a, slot, 1, 0)
+                        for a in arrs]
+
+            sub = KVCache(*[take(field) for field in cache])
             _, sub = forward(params, self.cfg, tokens, pos[None], sub,
                              attn_len=attn_len, act_dtype=self.act_dtype,
                              matmul_impl=self.matmul_impl)
-            return KVCache(
-                [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
-                 for c, s in zip(cache.k, sub.k)],
-                [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
-                 for c, s in zip(cache.v, sub.v)])
+
+            def put(full, subs):
+                return [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
+                        for c, s in zip(full, subs)]
+
+            return KVCache(*[put(f, s) for f, s in zip(cache, sub)])
 
         return prefill
 
@@ -171,7 +176,8 @@ class BatchEngine:
         self.scheduler = make_scheduler(self.n_slots, self.max_seq,
                                         prefer_native=self._prefer_native)
         self.cache = init_kv_cache(self.cfg, self.n_slots, self.max_seq,
-                                   dtype=self.act_dtype)
+                                   dtype=self.act_dtype,
+                                   quantized=self.kv_quant)
         self.pos = np.zeros(self.n_slots, np.int32)
         self.last_token = np.zeros(self.n_slots, np.int32)
         self._requests = {}

@@ -58,7 +58,7 @@ class InferenceEngine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  tokenizer: Tokenizer | None = None, *,
                  act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
-                 attn_impl: str | None = None,
+                 attn_impl: str | None = None, kv_quant: bool = False,
                  max_seq: int | None = None, temperature: float = 0.5,
                  topp: float = 0.6, seed: int = 0, chunk_size: int = 16):
         self.params = params
@@ -72,8 +72,10 @@ class InferenceEngine:
         self.topp = topp
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
+        self.kv_quant = kv_quant
         self._buckets = attn_buckets(self.max_seq)
-        self.cache = init_kv_cache(cfg, 1, self.max_seq, dtype=act_dtype)
+        self.cache = init_kv_cache(cfg, 1, self.max_seq, dtype=act_dtype,
+                                   quantized=kv_quant)
         self.pos = 0  # persists across chat turns (llama2_q4.cu:526-527)
 
     # ------------------------------------------------------------------
@@ -173,7 +175,8 @@ class InferenceEngine:
 
     def reset(self):
         self.cache = init_kv_cache(self.cfg, 1, self.max_seq,
-                                   dtype=self.act_dtype)
+                                   dtype=self.act_dtype,
+                                   quantized=self.kv_quant)
         self.pos = 0
 
     def _prefill(self, tokens: list[int], *, collect_logits: bool = False):

@@ -92,17 +92,47 @@ class LlamaParams:
 class KVCache(NamedTuple):
     """Per-layer lists of (B, max_seq, n_kv_heads, head_dim) buffers
     (reference: common.h:65-66); kept unstacked for the same zero-copy
-    reason as the weights."""
+    reason as the weights.
+
+    Optional int8 quantized mode (an upgrade over the reference's fp16
+    cache): k/v hold int8 codes and k_scale/v_scale hold per-(slot,
+    position, head) f32 scales of shape (B, max_seq, n_kv_heads) —
+    symmetric per-vector quantization, amax/127. Halves KV HBM traffic
+    (the dominant term of batched decode) and doubles slot capacity.
+    """
 
     k: list
     v: list
+    k_scale: list = []
+    v_scale: list = []
+
+    @property
+    def quantized(self) -> bool:
+        return bool(self.k_scale)
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
     shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
-    return KVCache([jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
-                   [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)])
+    n = cfg.n_layers
+    if not quantized:
+        return KVCache([jnp.zeros(shape, dtype) for _ in range(n)],
+                       [jnp.zeros(shape, dtype) for _ in range(n)])
+    sshape = shape[:-1]
+    return KVCache(
+        [jnp.zeros(shape, jnp.int8) for _ in range(n)],
+        [jnp.zeros(shape, jnp.int8) for _ in range(n)],
+        [jnp.zeros(sshape, jnp.float32) for _ in range(n)],
+        [jnp.zeros(sshape, jnp.float32) for _ in range(n)])
+
+
+def quantize_kv(x: jax.Array):
+    """Symmetric per-vector int8: (B, T, H, D) float -> (int8 codes,
+    f32 scales (B, T, H)). |x - q*s| <= s/2 elementwise."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +259,8 @@ def _update_cache(cache_l: jax.Array, new: jax.Array,
             indices_are_sorted=True, mode="promise_in_bounds")
 
     def upd(c, n, p):
-        return lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
+        start = (p,) + (0,) * (c.ndim - 1)
+        return lax.dynamic_update_slice(c, n.astype(c.dtype), start)
 
     return jax.vmap(upd)(cache_l, new, pos)
 
@@ -317,7 +348,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # so Pallas kernels and attention read them with zero copies (a
     # lax.scan over stacked tensors would materialize a dynamic-slice of
     # every layer's weights each step — ~2x HBM traffic)
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for l, layer in enumerate(params.layers):
         # --- attention block ---
         xb = rmsnorm(x, layer.attn_norm)
@@ -328,11 +359,28 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         vh = vh.reshape(B, T, KV, D)
         qh = apply_rope(qh, positions, cfg.rope_theta)
         kh = apply_rope(kh, positions, cfg.rope_theta)
-        k_cache_l = _update_cache(cache.k[l], kh, pos)
-        v_cache_l = _update_cache(cache.v[l], vh, pos)
+        if cache.quantized:
+            kq, ks = quantize_kv(kh)
+            vq, vs = quantize_kv(vh)
+            k_cache_l = _update_cache(cache.k[l], kq, pos)
+            v_cache_l = _update_cache(cache.v[l], vq, pos)
+            ks_l = _update_cache(cache.k_scale[l], ks, pos)
+            vs_l = _update_cache(cache.v_scale[l], vs, pos)
+            new_ks.append(ks_l)
+            new_vs.append(vs_l)
+            # dequantize the attention window on the fly; XLA fuses the
+            # int8 load + scale multiply into the attention dot's operand
+            k_att = (k_cache_l[:, :A].astype(act_dtype)
+                     * ks_l[:, :A, :, None].astype(act_dtype))
+            v_att = (v_cache_l[:, :A].astype(act_dtype)
+                     * vs_l[:, :A, :, None].astype(act_dtype))
+        else:
+            k_cache_l = _update_cache(cache.k[l], kh, pos)
+            v_cache_l = _update_cache(cache.v[l], vh, pos)
+            k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
         new_k.append(k_cache_l)
         new_v.append(v_cache_l)
-        attn = _attention(qh, k_cache_l[:, :A], v_cache_l[:, :A], pos,
+        attn = _attention(qh, k_att, v_att, pos,
                           act_dtype, attn_impl).astype(act_dtype)
         # o-proj with fused residual accumulate (llama2_q4.cu:323);
         # row-parallel under TP: partial sums reduced over the tp axis
@@ -354,7 +402,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # teacher-forced prompt step: only the cache matters (the
         # reference burns a full lm_head GEMV per prompt token;
         # llama2_q4.cu:336-339 — skipping it is free accuracy-wise)
-        return None, KVCache(new_k, new_v)
+        return None, KVCache(new_k, new_v, new_ks, new_vs)
     x = rmsnorm(x, params.final_norm)
     if not logits_all:
         x = x[:, -1, :]
@@ -366,4 +414,4 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     if tp_axis:
         logits = lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                 tiled=True)
-    return logits, KVCache(new_k, new_v)
+    return logits, KVCache(new_k, new_v, new_ks, new_vs)

@@ -1,0 +1,88 @@
+"""int8 KV-cache tests: quantizer error bound, forward closeness vs the
+bf16 cache, engine/batch integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cu_awq_tpu.engine import InferenceEngine
+from llama_cu_awq_tpu.engine.batch import BatchEngine
+from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
+from llama_cu_awq_tpu.models import (
+    forward,
+    init_kv_cache,
+    params_from_checkpoint,
+)
+from llama_cu_awq_tpu.models.llama import quantize_kv
+from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
+
+
+def test_quantize_kv_error_bound(rng):
+    x = jnp.asarray(rng.standard_normal((2, 5, 4, 64)) * 3.0, jnp.float32)
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 5, 4)
+    err = np.abs(np.asarray(x) - np.asarray(q, np.float32)
+                 * np.asarray(s)[..., None])
+    # s/2 plus f32 division rounding slack
+    bound = np.broadcast_to(np.asarray(s)[..., None] * (0.5 + 1e-5),
+                            err.shape)
+    np.testing.assert_array_less(err, bound)
+
+
+def test_forward_quantized_cache_close(tiny_config, rng):
+    cfg = tiny_config
+    ckpt = random_checkpoint(cfg, seed=11)
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+    tokens = jnp.asarray([[5, 9, 2, 77, 130]])
+    pos = jnp.zeros(1, jnp.int32)
+
+    c16 = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    l16, c16 = forward(params, cfg, tokens, pos, c16, attn_len=32,
+                       act_dtype=jnp.float32, matmul_impl="dequant",
+                       logits_all=True)
+    cq = init_kv_cache(cfg, 1, 32, quantized=True)
+    assert cq.quantized
+    lq, cq = forward(params, cfg, tokens, pos, cq, attn_len=32,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     logits_all=True)
+    assert cq.k[0].dtype == jnp.int8
+    # int8 per-vector KV error is ~0.4% on attention operands
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(l16), rtol=0.05,
+                               atol=0.05)
+
+    # decode continues correctly from the quantized cache
+    nt = jnp.asarray([[42]])
+    p5 = jnp.full(1, 5, jnp.int32)
+    l16b, _ = forward(params, cfg, nt, p5, c16, attn_len=32,
+                      act_dtype=jnp.float32, matmul_impl="dequant")
+    lqb, _ = forward(params, cfg, nt, p5, cq, attn_len=32,
+                     act_dtype=jnp.float32, matmul_impl="dequant")
+    np.testing.assert_allclose(np.asarray(lqb), np.asarray(l16b), rtol=0.05,
+                               atol=0.05)
+
+
+def test_engines_run_with_kv_quant(tiny_config):
+    cfg = tiny_config
+    ckpt = random_checkpoint(cfg, seed=2)
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+
+    eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
+                          matmul_impl="dequant", kv_quant=True,
+                          temperature=0.0, max_seq=64, chunk_size=4)
+    toks, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 12)
+    assert len(toks) == 10 and all(0 <= t < cfg.vocab_size for t in toks)
+
+    be = BatchEngine(params, cfg, n_slots=2, max_seq=64,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     kv_quant=True, temperature=0.0, chunk_size=4,
+                     prefer_native_scheduler=False)
+    # long prompt exercises the quantized block-prefill slot path
+    long_prompt = [BOS_TOKEN] + [(3 * i) % 400 for i in range(55)]
+    r1 = be.submit(long_prompt, max_new=5)
+    r2 = be.submit([BOS_TOKEN, 7, 9], max_new=5)
+    out = be.run()
+    assert len(out[r1]) >= 1 and len(out[r2]) >= 1
+    # greedy kv-quant batch output matches the kv-quant single engine
+    eng.reset()
+    toks2, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 3 + 5)
+    assert out[r2] == toks2[:len(out[r2])]

@@ -113,8 +113,6 @@ def main(argv=None) -> int:
         max_seq=args.max_seq or ckpt.config.seq_len)
 
     if args.profile:
-        import contextlib
-
         from llama_cu_awq_tpu.utils import profile_trace
 
         profile_cm = profile_trace(args.profile)

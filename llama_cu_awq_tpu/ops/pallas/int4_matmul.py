@@ -98,31 +98,49 @@ def _make_kernel_douter(chunks: int):
 
 
 def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
-    """Choose (tile_d, chunks-per-step): prefer 2048-wide tiles, the
-    largest chunk count dividing n_chunks with a qw block <= ~4 MB,
-    while keeping >= 6 total grid steps so the DMA pipeline has depth.
+    import os
+
+    override = os.environ.get("LLAMA_INT4_TILING")
+    if override:  # "tile_d,chunks" — perf-sweep escape hatch
+        t, c = (int(v) for v in override.split(","))
+        if d_pad % t == 0 and n_chunks % c == 0:
+            return t, c
+    return _pick_tiling_default(n_chunks, d_pad)
+
+
+def _pick_tiling_default(n_chunks: int, d_pad: int) -> tuple[int, int]:
+    """Choose (tile_d, chunks-per-step). Swept on v5e (tools/sweep_int4.py
+    over the 7B decode shapes): widest tile <= 4096 that still leaves >= 2
+    d-tiles wins (fewer output-column passes -> fewer meta/x re-reads),
+    with the chunk count sized so a qw block is <= ~2 MB (DMA pipeline
+    depth beats block size beyond that).
 
     The bf16 meta block has sublane = 8*chunks, which Mosaic requires to
     be a multiple of 16 (chunks even) unless the block covers the whole
     array (chunks == n_chunks).
     """
     tile_d = None
-    for t in (2048, 1024, 512, 256, 128):
-        if d_pad % t == 0:
+    for t in (4096, 2048, 1024, 512, 256, 128):
+        if d_pad % t == 0 and (d_pad // t >= 2 or d_pad == t == 128):
             tile_d = t
             break
     if tile_d is None:
-        raise ValueError(f"d_pad={d_pad} not a multiple of 128")
-    d_tiles = d_pad // tile_d
-    # measured on v5e: ~1-2 MB qw blocks with a deep grid stream fastest;
-    # chunks=4 when the total grid keeps >= 4 steps of pipeline, else 2
-    if n_chunks % 4 == 0 and n_chunks // 4 * d_tiles >= 4:
-        chunks = 4
-    elif n_chunks % 2 == 0:
-        chunks = 2
-    else:
-        chunks = n_chunks  # odd chunk counts: whole-array block (sublane
-        #                    constraint: 8*chunks%16==0 unless full array)
+        if d_pad % 128:
+            raise ValueError(f"d_pad={d_pad} not a multiple of 128")
+        tile_d = d_pad  # single-tile fallback (tiny tensors)
+    # largest even chunk count with a <= ~1 MB qw block; when even c=2
+    # already exceeds it (wide tiles), take c=2 anyway (2 MB blocks
+    # measured within noise of 1 MB at tile 4096)
+    block_limit = 1 << 20
+    chunks = None
+    for c in (8, 4, 2):
+        if n_chunks % c == 0 and c * 64 * tile_d * 4 <= block_limit:
+            chunks = c
+            break
+    if chunks is None:
+        chunks = 2 if n_chunks % 2 == 0 else n_chunks
+        # odd chunk counts: whole-array block (sublane constraint:
+        # 8*chunks%16==0 unless the block covers the full array)
     return tile_d, chunks
 
 

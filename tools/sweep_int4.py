@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Sweep int4-kernel tilings per decode shape on the real chip.
+
+Timings use a lax.scan harness that carries ~constant per-call overhead
+on this platform, so ABSOLUTE numbers are inflated but RELATIVE ordering
+across tilings of the same shape is sound. Set the winner via
+LLAMA_INT4_TILING or fold it into _pick_tiling_default.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/llama_tpu_jax_cache")
+
+    from llama_cu_awq_tpu.config import LLAMA2_7B as cfg
+    from llama_cu_awq_tpu.models.llama import synthetic_params
+    from llama_cu_awq_tpu.ops.pallas import int4_matmul as m
+
+    params = synthetic_params(cfg, seed=0, tpu_layout=True)
+    jax.block_until_ready(params.embed)
+    layer = params.layers[0]
+
+    def timeit(qt, x, iters=300):
+        def loop(x0):
+            def body(x, _):
+                out = m.int4_matmul(x, qt)
+                x = (x * 0.999
+                     + out[..., : x.shape[-1]].astype(x.dtype) * 1e-6)
+                return x, None
+            return lax.scan(body, x0, None, length=iters)[0]
+        j = jax.jit(loop)
+        jax.device_get(j(x))
+        t0 = time.perf_counter()
+        jax.device_get(j(x))
+        return (time.perf_counter() - t0) / iters
+
+    shapes = {
+        "qkv": (layer.wqkv, jnp.ones((1, cfg.dim), jnp.bfloat16)),
+        "o": (layer.wo, jnp.ones((1, cfg.dim), jnp.bfloat16)),
+        "gate_up": (layer.w_gate_up, jnp.ones((1, cfg.dim), jnp.bfloat16)),
+        "down": (layer.w_down, jnp.ones((1, cfg.hidden_dim), jnp.bfloat16)),
+    }
+    for name, (qt, x) in shapes.items():
+        n_chunks = qt.n_pad // 512
+        d_pad = qt.d_pad
+        results = []
+        for tile_d in (1024, 2048, 4096):
+            if d_pad % tile_d:
+                continue
+            for chunks in (2, 4, 8):
+                if n_chunks % chunks:
+                    continue
+                os.environ["LLAMA_INT4_TILING"] = f"{tile_d},{chunks}"
+                # new tiling -> must retrace: clear jit caches
+                m._int4_matmul_2d.clear_cache()
+                try:
+                    dt = timeit(qt, x)
+                except Exception as e:
+                    print(f"{name} tile_d={tile_d} chunks={chunks}: "
+                          f"FAIL {type(e).__name__}", flush=True)
+                    continue
+                results.append((dt, tile_d, chunks))
+                print(f"{name} tile_d={tile_d} chunks={chunks}: "
+                      f"{dt*1e6:7.1f} us", flush=True)
+        os.environ.pop("LLAMA_INT4_TILING", None)
+        m._int4_matmul_2d.clear_cache()
+        if results:
+            best = min(results)
+            print(f"--> {name} best: tile_d={best[1]} chunks={best[2]} "
+                  f"({best[0]*1e6:.1f} us)\n", flush=True)
+
+
+if __name__ == "__main__":
+    main()

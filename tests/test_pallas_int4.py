@@ -27,11 +27,12 @@ def test_planar_roundtrip(rng):
 
 
 def test_planar_nonmultiple_rows(rng):
-    n, d = 1100, 128  # pads to 1536 (next multiple of PLANAR_BLOCK=512)
+    n, d = 1100, 128  # pads to 2048: an EVEN number of 512-row chunks
     q = rng.integers(0, 16, size=(n, d), dtype=np.int32)
     planar = packing.to_planar(packing.pack_nibbles(q), n)
     assert planar.shape == (packing.planar_pad(n) // 8, d)
-    assert packing.planar_pad(n) == 1536
+    assert packing.planar_pad(n) == 2048
+    assert packing.planar_pad(13824) // 512 % 2 == 0  # 13B hidden_dim
     assert np.array_equal(packing.from_planar(planar, n), q.astype(np.int8))
 
 

@@ -56,6 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu); overrides the "
                          "site default")
+    ap.add_argument("--tp", type=int, default=1, metavar="N",
+                    help="tensor-parallel over N devices (Megatron-style "
+                         "column/row sharding + psum over the ICI mesh)")
     return ap
 
 
@@ -98,10 +101,21 @@ def main(argv=None) -> int:
     # kernel (pair-planar) layout whenever the Pallas path may run
     tpu_layout = args.matmul_impl == "pallas" or (
         args.matmul_impl in (None, "auto") and on_tpu)
+    param_dtype = None if args.act_dtype == "float16" else act_dtype
+    mesh = None
     print("\nLoading Weights... ", end="", flush=True)
-    params = params_from_checkpoint(
-        ckpt, param_dtype=None if args.act_dtype == "float16" else act_dtype,
-        tpu_layout=tpu_layout)
+    if args.tp > 1:
+        from llama_cu_awq_tpu.parallel import make_mesh, tp_params_from_checkpoint
+        from llama_cu_awq_tpu.parallel.tp import place_params
+
+        mesh = make_mesh(tp=args.tp, dp=1, devices=jax.devices()[:args.tp])
+        params = place_params(
+            tp_params_from_checkpoint(ckpt, args.tp,
+                                      param_dtype=param_dtype or act_dtype),
+            ckpt.config, mesh)
+    else:
+        params = params_from_checkpoint(ckpt, param_dtype=param_dtype,
+                                        tpu_layout=tpu_layout)
     print("done!")
 
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)
@@ -110,7 +124,7 @@ def main(argv=None) -> int:
         matmul_impl=args.matmul_impl, attn_impl=args.attn_impl,
         kv_quant=args.kv_quant, temperature=args.temperature,
         topp=args.topp, seed=args.seed,
-        max_seq=args.max_seq or ckpt.config.seq_len)
+        max_seq=args.max_seq or ckpt.config.seq_len, mesh=mesh)
 
     if args.profile:
         from llama_cu_awq_tpu.utils import profile_trace

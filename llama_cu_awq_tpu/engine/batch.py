@@ -39,12 +39,15 @@ import numpy as np
 from jax import lax
 
 from llama_cu_awq_tpu.config import ModelConfig
-from llama_cu_awq_tpu.engine.engine import PREFILL_BLOCK, attn_buckets
+from llama_cu_awq_tpu.engine.engine import (
+    PREFILL_BLOCK,
+    attn_buckets,
+    make_engine_forward,
+)
 from llama_cu_awq_tpu.engine.scheduler import make_scheduler
 from llama_cu_awq_tpu.models.llama import (
     KVCache,
     LlamaParams,
-    forward,
     init_kv_cache,
 )
 from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
@@ -71,7 +74,7 @@ class BatchEngine:
                  attn_impl: str | None = None, kv_quant: bool = False,
                  temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
-                 prefer_native_scheduler: bool = True):
+                 prefer_native_scheduler: bool = True, mesh=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -86,11 +89,18 @@ class BatchEngine:
         self.chunk_size = chunk_size
         self._buckets = attn_buckets(self.max_seq)
         self.kv_quant = kv_quant
+        # mesh: tensor-parallel serving — weights column/row-sharded and
+        # the KV cache kv-head-sharded over the mesh's 'tp' axis, slots
+        # replicated (BASELINE.json: "13B tensor-sharded, continuous
+        # batching of 32 concurrent requests"). params must be TP layout
+        # (parallel.tp_params_from_checkpoint / tp_synthetic_params).
+        # Multi-host dp serving = one BatchEngine per dp replica group.
+        self.mesh = mesh
+        self._fwd = make_engine_forward(cfg, mesh)
         self._prefer_native = prefer_native_scheduler
         self.scheduler = make_scheduler(n_slots, self.max_seq,
                                         prefer_native=prefer_native_scheduler)
-        self.cache = init_kv_cache(cfg, n_slots, self.max_seq,
-                                   dtype=act_dtype, quantized=kv_quant)
+        self.cache = self._init_cache()
         self.pos = np.zeros(n_slots, np.int32)       # next write position
         self.last_token = np.zeros(n_slots, np.int32)
         self._requests: dict[int, _Req] = {}
@@ -99,6 +109,17 @@ class BatchEngine:
         self._next_id = 0
 
     # ------------------------------------------------------------------
+
+    def _init_cache(self):
+        if self.mesh is None:
+            return init_kv_cache(self.cfg, self.n_slots, self.max_seq,
+                                 dtype=self.act_dtype,
+                                 quantized=self.kv_quant)
+        from llama_cu_awq_tpu.parallel.tp import tp_init_kv_cache
+
+        return tp_init_kv_cache(self.cfg, self.n_slots, self.max_seq,
+                                self.mesh, dtype=self.act_dtype,
+                                quantized=self.kv_quant)
 
     def _bucket_for(self, seq: int) -> int:
         for b in self._buckets:
@@ -118,9 +139,9 @@ class BatchEngine:
                         for a in arrs]
 
             sub = KVCache(*[take(field) for field in cache])
-            _, sub = forward(params, self.cfg, tokens, pos[None], sub,
-                             attn_len=attn_len, act_dtype=self.act_dtype,
-                             matmul_impl=self.matmul_impl)
+            _, sub = self._fwd(params, tokens, pos[None], sub,
+                               attn_len=attn_len, act_dtype=self.act_dtype,
+                               matmul_impl=self.matmul_impl, no_logits=True)
 
             def put(full, subs):
                 return [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
@@ -153,8 +174,8 @@ class BatchEngine:
                 tokens, pos, cache = carry
                 coin, f_tok, f_on = xs
                 in_tok = jnp.where(f_on, f_tok, tokens)
-                logits, cache = forward(
-                    params, self.cfg, in_tok[:, None], pos, cache,
+                logits, cache = self._fwd(
+                    params, in_tok[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
                     matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
                 nxt = sample_token(logits, coin, self.temperature, self.topp)
@@ -175,9 +196,7 @@ class BatchEngine:
         """Clear all requests and per-slot state; keeps compiled steps."""
         self.scheduler = make_scheduler(self.n_slots, self.max_seq,
                                         prefer_native=self._prefer_native)
-        self.cache = init_kv_cache(self.cfg, self.n_slots, self.max_seq,
-                                   dtype=self.act_dtype,
-                                   quantized=self.kv_quant)
+        self.cache = self._init_cache()
         self.pos = np.zeros(self.n_slots, np.int32)
         self.last_token = np.zeros(self.n_slots, np.int32)
         self._requests = {}

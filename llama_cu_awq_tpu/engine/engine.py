@@ -41,6 +41,21 @@ from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN, Tokenizer
 PREFILL_BLOCK = 128
 
 
+def make_engine_forward(cfg: ModelConfig, mesh):
+    """The engines' model-step callable: `forward` with cfg bound when
+    single-device, or the shard_map-wrapped tensor-parallel forward when
+    a mesh is given (parallel.tp.make_shard_forward) — same signature, so
+    the jitted engine step functions are mesh-agnostic."""
+    if mesh is None:
+        def fwd(params, tokens, pos, cache, **kw):
+            return forward(params, cfg, tokens, pos, cache, **kw)
+
+        return fwd
+    from llama_cu_awq_tpu.parallel.tp import make_shard_forward
+
+    return make_shard_forward(cfg, mesh)
+
+
 def attn_buckets(seq_len: int, first: int = 128, n_bins: int = 8):
     """Seq-len bins like the reference's graph bins (llama2_q4.cu:354-360)."""
     bins = []
@@ -60,7 +75,8 @@ class InferenceEngine:
                  act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
                  attn_impl: str | None = None, kv_quant: bool = False,
                  max_seq: int | None = None, temperature: float = 0.5,
-                 topp: float = 0.6, seed: int = 0, chunk_size: int = 16):
+                 topp: float = 0.6, seed: int = 0, chunk_size: int = 16,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -73,10 +89,25 @@ class InferenceEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self.kv_quant = kv_quant
+        # mesh: run tensor-parallel over a jax.sharding.Mesh with a 'tp'
+        # axis; params must be in TP layout (parallel.tp_params_from_
+        # checkpoint / tp_synthetic_params), ideally pre-placed
+        self.mesh = mesh
+        self._fwd = make_engine_forward(cfg, mesh)
         self._buckets = attn_buckets(self.max_seq)
-        self.cache = init_kv_cache(cfg, 1, self.max_seq, dtype=act_dtype,
-                                   quantized=kv_quant)
+        self.cache = self._init_cache()
         self.pos = 0  # persists across chat turns (llama2_q4.cu:526-527)
+
+    def _init_cache(self):
+        if self.mesh is None:
+            return init_kv_cache(self.cfg, 1, self.max_seq,
+                                 dtype=self.act_dtype,
+                                 quantized=self.kv_quant)
+        from llama_cu_awq_tpu.parallel.tp import tp_init_kv_cache
+
+        return tp_init_kv_cache(self.cfg, 1, self.max_seq, self.mesh,
+                                dtype=self.act_dtype,
+                                quantized=self.kv_quant)
 
     # ------------------------------------------------------------------
     # jitted step functions (compiled per attention bucket)
@@ -92,8 +123,8 @@ class InferenceEngine:
         @functools.partial(
             jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
         def step(params, token, pos, cache, coin, *, attn_len):
-            logits, cache = forward(
-                params, self.cfg, token[:, None], pos, cache,
+            logits, cache = self._fwd(
+                params, token[:, None], pos, cache,
                 attn_len=attn_len, act_dtype=self.act_dtype,
                 matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
             nxt = sample_token(logits, coin, self.temperature, self.topp)
@@ -115,8 +146,8 @@ class InferenceEngine:
         def chunk(params, token, pos, cache, coins, *, attn_len):
             def body(carry, coin):
                 token, pos, cache = carry
-                logits, cache = forward(
-                    params, self.cfg, token[:, None], pos, cache,
+                logits, cache = self._fwd(
+                    params, token[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
                     matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
                 nxt = sample_token(logits, coin, self.temperature, self.topp)
@@ -144,8 +175,8 @@ class InferenceEngine:
         def chunk(params, tokens, pos, cache, *, attn_len):
             def body(carry, tok):
                 pos, cache = carry
-                _, cache = forward(
-                    params, self.cfg, tok[:, None], pos, cache,
+                _, cache = self._fwd(
+                    params, tok[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
                     matmul_impl=self.matmul_impl, attn_impl=self.attn_impl,
                     no_logits=True)
@@ -163,8 +194,8 @@ class InferenceEngine:
             donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, *, block, attn_len,
                     logits_all):
-            logits, cache = forward(
-                params, self.cfg, tokens, pos, cache, attn_len=attn_len,
+            logits, cache = self._fwd(
+                params, tokens, pos, cache, attn_len=attn_len,
                 act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
                 attn_impl=self.attn_impl, logits_all=logits_all)
             return logits, cache
@@ -174,9 +205,7 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def reset(self):
-        self.cache = init_kv_cache(self.cfg, 1, self.max_seq,
-                                   dtype=self.act_dtype,
-                                   quantized=self.kv_quant)
+        self.cache = self._init_cache()
         self.pos = 0
 
     def _prefill(self, tokens: list[int], *, collect_logits: bool = False):

@@ -1,6 +1,8 @@
 from llama_cu_awq_tpu.parallel.mesh import make_mesh
 from llama_cu_awq_tpu.parallel.tp import (
+    make_shard_forward,
     make_tp_forward,
+    place_params,
     tp_cache_sharding,
     tp_init_kv_cache,
     tp_param_shardings,
@@ -10,7 +12,9 @@ from llama_cu_awq_tpu.parallel.tp import (
 
 __all__ = [
     "make_mesh",
+    "make_shard_forward",
     "make_tp_forward",
+    "place_params",
     "tp_cache_sharding",
     "tp_init_kv_cache",
     "tp_param_shardings",

@@ -180,16 +180,31 @@ def tp_cache_sharding(mesh, batch_sharded: bool = False):
 
 
 def tp_init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int, mesh,
-                     dtype=jnp.bfloat16, batch_sharded: bool = False):
+                     dtype=jnp.bfloat16, batch_sharded: bool = False,
+                     quantized: bool = False):
+    """KV cache sharded over kv heads (and optionally batch over dp).
+
+    quantized: int8 codes + per-(slot, pos, head) f32 scales, the scales
+    sharded over the same head axis as the codes (models/llama.py KVCache).
+    """
+    bspec = DP_AXIS if batch_sharded else None
     sharding = tp_cache_sharding(mesh, batch_sharded)
+    s_sharding = NamedSharding(mesh, P(bspec, None, TP_AXIS))
     shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    n = cfg.n_layers
 
-    @functools.partial(jax.jit, out_shardings=sharding)
-    def z():
-        return jnp.zeros(shape, dtype)
+    def zeros(shape, dtype, sh):
+        return jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sh)()
 
-    return KVCache([z() for _ in range(cfg.n_layers)],
-                   [z() for _ in range(cfg.n_layers)])
+    if not quantized:
+        return KVCache([zeros(shape, dtype, sharding) for _ in range(n)],
+                       [zeros(shape, dtype, sharding) for _ in range(n)])
+    sshape = shape[:-1]
+    return KVCache(
+        [zeros(shape, jnp.int8, sharding) for _ in range(n)],
+        [zeros(shape, jnp.int8, sharding) for _ in range(n)],
+        [zeros(sshape, jnp.float32, s_sharding) for _ in range(n)],
+        [zeros(sshape, jnp.float32, s_sharding) for _ in range(n)])
 
 
 def tp_synthetic_params(cfg: ModelConfig, mesh, seed: int = 0,
@@ -257,36 +272,67 @@ def tp_synthetic_params(cfg: ModelConfig, mesh, seed: int = 0,
     )
 
 
-def make_tp_forward(cfg: ModelConfig, mesh, *, attn_len: int,
-                    act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
-                    logits_all: bool = False, batch_sharded: bool = False):
-    """shard_map-wrapped forward over the (dp, tp) mesh.
+def make_shard_forward(cfg: ModelConfig, mesh, *,
+                       batch_sharded: bool = False):
+    """A drop-in replacement for models.llama.forward (minus the cfg
+    argument) that runs the local per-shard forward under jax.shard_map
+    over the (dp, tp) mesh: column/row-parallel packed matmuls with psum,
+    kv-head-sharded cache, vocab-sharded lm_head with all_gather.
 
-    Activations are replicated over tp; the batch axis is sharded over
-    dp when batch_sharded (continuous batching across hosts).
+    The returned callable is trace-time polymorphic (attn_len /
+    logits_all / no_logits / quantized-cache are Python-level), so the
+    engines can close over it inside their jitted step functions exactly
+    where they would call `forward` (engine/engine.py, engine/batch.py).
     """
     tp = mesh.shape[TP_AXIS]
     bspec = DP_AXIS if batch_sharded else None
-
-    params_spec = tp_param_shardings(cfg, mesh)
     params_spec = jax.tree.map(
-        lambda s: s.spec, params_spec,
+        lambda s: s.spec, tp_param_shardings(cfg, mesh),
         is_leaf=lambda x: isinstance(x, NamedSharding))
-    cache_spec = P(bspec, None, TP_AXIS, None)
+    n = cfg.n_layers
+    kv_spec = P(bspec, None, TP_AXIS, None)
+    kvs_spec = P(bspec, None, TP_AXIS)
 
-    def local_forward(params, tokens, pos, cache):
-        return forward(params, cfg, tokens, pos, cache, attn_len=attn_len,
-                       act_dtype=act_dtype, matmul_impl=matmul_impl,
-                       logits_all=logits_all, tp_axis=TP_AXIS, tp_size=tp)
+    def fwd(params, tokens, pos, cache, *, attn_len=None,
+            act_dtype=jnp.bfloat16, matmul_impl=None, attn_impl=None,
+            logits_all=False, no_logits=False):
+        cache_specs = (
+            KVCache([kv_spec] * n, [kv_spec] * n,
+                    [kvs_spec] * n, [kvs_spec] * n)
+            if cache.quantized else KVCache([kv_spec] * n, [kv_spec] * n))
+        logits_spec = (None if no_logits else
+                       P(bspec, None, None) if logits_all else
+                       P(bspec, None))
 
-    n_layers = cfg.n_layers
-    cache_specs = KVCache([cache_spec] * n_layers, [cache_spec] * n_layers)
-    fn = jax.shard_map(
-        local_forward,
-        mesh=mesh,
-        in_specs=(params_spec, P(bspec, None), P(bspec), cache_specs),
-        out_specs=(P(bspec, None) if not logits_all
-                   else P(bspec, None, None), cache_specs),
-        check_vma=False,
-    )
+        def local_forward(params, tokens, pos, cache):
+            return forward(params, cfg, tokens, pos, cache,
+                           attn_len=attn_len, act_dtype=act_dtype,
+                           matmul_impl=matmul_impl, attn_impl=attn_impl,
+                           logits_all=logits_all, no_logits=no_logits,
+                           tp_axis=TP_AXIS, tp_size=tp)
+
+        return jax.shard_map(
+            local_forward,
+            mesh=mesh,
+            in_specs=(params_spec, P(bspec, None), P(bspec), cache_specs),
+            out_specs=(logits_spec, cache_specs),
+            check_vma=False,
+        )(params, tokens, pos, cache)
+
+    return fwd
+
+
+def make_tp_forward(cfg: ModelConfig, mesh, *, attn_len: int,
+                    act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
+                    logits_all: bool = False, batch_sharded: bool = False):
+    """Jitted shard_map forward over the (dp, tp) mesh at a fixed
+    attention window (standalone use; the engines use make_shard_forward
+    inside their own jitted step functions)."""
+    sf = make_shard_forward(cfg, mesh, batch_sharded=batch_sharded)
+
+    def fn(params, tokens, pos, cache):
+        return sf(params, tokens, pos, cache, attn_len=attn_len,
+                  act_dtype=act_dtype, matmul_impl=matmul_impl,
+                  logits_all=logits_all)
+
     return jax.jit(fn, donate_argnums=(3,))

@@ -40,6 +40,8 @@ def main():
                     help="capture a jax.profiler trace of run 0 into DIR")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
+    ap.add_argument("--attn-impl", default=None, choices=["flash"],
+                    help="blockwise Pallas decode-attention kernel")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +82,7 @@ def main():
 
     engine = InferenceEngine(
         params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
-        matmul_impl=impl,
+        matmul_impl=impl, attn_impl=args.attn_impl,
         max_seq=max_seq, temperature=0.0, seed=1234,
         chunk_size=args.chunk_size)
 

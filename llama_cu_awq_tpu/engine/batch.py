@@ -42,6 +42,7 @@ from llama_cu_awq_tpu.config import ModelConfig
 from llama_cu_awq_tpu.engine.engine import (
     PREFILL_BLOCK,
     attn_buckets,
+    engine_jit,
     make_engine_forward,
 )
 from llama_cu_awq_tpu.engine.scheduler import make_scheduler
@@ -131,7 +132,7 @@ class BatchEngine:
     def _prefill_slot_fn(self):
         """B=1 prefill over one slot's cache rows (slot index traced)."""
 
-        @functools.partial(jax.jit, static_argnames=("block", "attn_len"),
+        @functools.partial(engine_jit, static_argnames=("block", "attn_len"),
                            donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
             def take(arrs):
@@ -166,7 +167,7 @@ class BatchEngine:
         coins/forced/force_mask: (K, S); tokens: (S,) sampled carries.
         """
 
-        @functools.partial(jax.jit, static_argnames=("attn_len",),
+        @functools.partial(engine_jit, static_argnames=("attn_len",),
                            donate_argnames=("cache",))
         def chunk(params, tokens, pos, cache, coins, forced, force_mask,
                   *, attn_len):

@@ -21,6 +21,7 @@ The TPU-native counterpart of the reference's driver layer
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -39,6 +40,38 @@ from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
 from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN, Tokenizer
 
 PREFILL_BLOCK = 128
+
+
+def engine_jit(fun=None, **kw):
+    """jax.jit with tuned XLA compiler options for the engine's step
+    functions.
+
+    Default on TPU: xla_tpu_scoped_vmem_limit_kib=12288 — swept on v5e
+    7B decode (179.7 -> 187.5 tok/s vs the compiler default). The limit
+    bounds how much weight data XLA's memory-space-assignment stages
+    into VMEM ahead of the Pallas kernels: too much staging serializes
+    behind large slice DMAs, too little loses prefetch overlap; ~12 MB
+    (two in-flight 6.3 MB qkv half-tiles) is the measured sweet spot.
+
+    LLAMA_TPU_COMPILER_OPTS="k=v,k2=v2" overrides/extends per-compile
+    XLA options — the supported tuning path on platforms where global
+    XLA_FLAGS do not reach the (possibly remote) TPU compiler.
+    """
+    from llama_cu_awq_tpu.ops.linear import _on_tpu
+
+    # the CPU (test) compiler rejects TPU-only option names
+    opts = dict(_DEFAULT_COMPILER_OPTS) if _on_tpu() else {}
+    opts.update(p.split("=", 1)
+                for p in os.environ.get(
+                    "LLAMA_TPU_COMPILER_OPTS", "").split(",") if p)
+    if opts:
+        kw.setdefault("compiler_options", opts)
+    if fun is None:
+        return functools.partial(engine_jit, **kw)
+    return jax.jit(fun, **kw)
+
+
+_DEFAULT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "12288"}
 
 
 def make_engine_forward(cfg: ModelConfig, mesh):
@@ -121,7 +154,7 @@ class InferenceEngine:
     @functools.cached_property
     def _decode_fn(self):
         @functools.partial(
-            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
         def step(params, token, pos, cache, coin, *, attn_len):
             logits, cache = self._fwd(
                 params, token[:, None], pos, cache,
@@ -142,7 +175,7 @@ class InferenceEngine:
         once per chunk instead of once per token."""
 
         @functools.partial(
-            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
         def chunk(params, token, pos, cache, coins, *, attn_len):
             def body(carry, coin):
                 token, pos, cache = carry
@@ -171,7 +204,7 @@ class InferenceEngine:
         PREFILL_BLOCK pass by a wide margin."""
 
         @functools.partial(
-            jax.jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
         def chunk(params, tokens, pos, cache, *, attn_len):
             def body(carry, tok):
                 pos, cache = carry
@@ -190,7 +223,7 @@ class InferenceEngine:
     @functools.cached_property
     def _prefill_fn(self):
         @functools.partial(
-            jax.jit, static_argnames=("block", "attn_len", "logits_all"),
+            engine_jit, static_argnames=("block", "attn_len", "logits_all"),
             donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, *, block, attn_len,
                     logits_all):

@@ -27,8 +27,13 @@ from jax import lax
 
 from llama_cu_awq_tpu.config import ModelConfig
 from llama_cu_awq_tpu.io.checkpoint import RawCheckpoint, RawQWeight
-from llama_cu_awq_tpu.ops.linear import dense_matmul, qmatmul
-from llama_cu_awq_tpu.ops.norms import rmsnorm
+from llama_cu_awq_tpu.ops.linear import (
+    dense_matmul,
+    qmatmul,
+    qmatmul_fused,
+    resolved_impl,
+)
+from llama_cu_awq_tpu.ops.norms import RMS_EPS, rmsnorm
 from llama_cu_awq_tpu.ops.rope import apply_rope
 from llama_cu_awq_tpu.quant.packing import (
     build_meta,
@@ -320,7 +325,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
             attn_impl: str | None = None,
             logits_all: bool = False, no_logits: bool = False,
-            tp_axis: str | None = None, tp_size: int = 1):
+            tp_axis: str | None = None, tp_size: int = 1,
+            fused: bool | None = None):
     """Run the network over a token block.
 
     tokens: (B, T) int32; pos: (B,) absolute position of tokens[:, 0];
@@ -341,8 +347,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     H, D, KV = cfg.n_heads // tp_size, cfg.head_dim, cfg.n_kv_heads // tp_size
     dim_q, dim_kv = cfg.dim // tp_size, cfg.kv_dim // tp_size
 
+    # fused layer path: pull the per-matmul glue (rmsnorm apply, SwiGLU,
+    # residual adds) into the Pallas kernels — batch-1 decode is exposed-
+    # latency-bound on that glue (see ops/pallas/int4_matmul.py). The rms
+    # scale chains kernel-to-kernel as a (B, T, 1) scalar. Disabled under
+    # TP (residual/ss epilogues would run pre-psum) and on non-kernel
+    # layouts/impls.
+    if fused is None:
+        fused = (tp_axis is None and bool(params.layers)
+                 and isinstance(params.layers[0].wqkv, QTensorTPU)
+                 and resolved_impl(matmul_impl) == "pallas")
+
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
+    if fused:
+        xf = x.astype(jnp.float32)
+        ss = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + RMS_EPS)
 
     # unrolled layer loop: per-layer weights/caches are separate arrays,
     # so Pallas kernels and attention read them with zero copies (a
@@ -351,8 +372,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for l, layer in enumerate(params.layers):
         # --- attention block ---
-        xb = rmsnorm(x, layer.attn_norm)
-        qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
+        if fused:
+            qkv, _ = qmatmul_fused(x, layer.wqkv, matmul_impl,
+                                   prescale=(ss, layer.attn_norm),
+                                   out_dtype=act_dtype)
+        else:
+            xb = rmsnorm(x, layer.attn_norm)
+            qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
         kh = kh.reshape(B, T, KV, D)
@@ -382,6 +408,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         new_v.append(v_cache_l)
         attn = _attention(qh, k_att, v_att, pos,
                           act_dtype, attn_impl).astype(act_dtype)
+        if fused:
+            # o-proj + residual + next rms scale in one kernel, then
+            # gate/up with the rms apply fused, then SwiGLU + down-proj
+            # + residual + next rms scale (the reference's accum flag +
+            # ffn_matvec_silu_kernel, gpu_kernels.h:213-275)
+            x, ss = qmatmul_fused(attn, layer.wo, matmul_impl,
+                                  residual=x, emit_ss_eps=RMS_EPS,
+                                  out_dtype=act_dtype)
+            gu, _ = qmatmul_fused(x, layer.w_gate_up, matmul_impl,
+                                  prescale=(ss, layer.ffn_norm),
+                                  out_dtype=act_dtype)
+            g, u = jnp.split(gu, 2, axis=-1)
+            x, ss = qmatmul_fused(g, layer.w_down, matmul_impl,
+                                  silu_u=u, residual=x,
+                                  emit_ss_eps=RMS_EPS,
+                                  out_dtype=act_dtype)
+            continue
         # o-proj with fused residual accumulate (llama2_q4.cu:323);
         # row-parallel under TP: partial sums reduced over the tp axis
         o_part = qmatmul(attn, layer.wo, matmul_impl)
@@ -403,7 +446,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # reference burns a full lm_head GEMV per prompt token;
         # llama2_q4.cu:336-339 — skipping it is free accuracy-wise)
         return None, KVCache(new_k, new_v, new_ks, new_vs)
-    x = rmsnorm(x, params.final_norm)
+    if fused:
+        x = (x.astype(jnp.float32) * ss
+             * params.final_norm.astype(jnp.float32)).astype(act_dtype)
+    else:
+        x = rmsnorm(x, params.final_norm)
     if not logits_all:
         x = x[:, -1, :]
     # classifier GEMV (llama2_q4.cu:339); operands in lm_head's storage

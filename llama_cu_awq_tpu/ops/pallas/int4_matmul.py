@@ -221,3 +221,221 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]  # drop zero-scale padding columns
     return out.reshape(*lead, qt.n_out)
+
+
+# ---------------------------------------------------------------------------
+# fused layer-step variant
+#
+# Decode at batch-1 is LATENCY-bound between kernels: the XLA glue ops
+# around each matmul (rmsnorm, silu*up, residual adds) each cost an
+# exposed HBM<->VMEM round-trip of the (1, dim) activation — profiled at
+# ~1.5 ms of the 5.6 ms step (tools/trace_summary.py). This variant
+# pulls the glue INTO the matmul kernel, the same fusion move the
+# reference makes with its dedicated qkv / ffn_silu / accumulate kernel
+# variants (gpu_kernels.h:213-275):
+#
+#   prologue  x_eff = x * ss * norm_w          (fused rmsnorm apply)
+#          or x_eff = silu(x) * u              (fused SwiGLU gate)
+#   matmul    acc  += x_eff @ W4               (pair-planar dequant dots)
+#   epilogue  out   = (acc + residual).astype(out_dtype)
+#             ss'   = rsqrt(mean(out^2) + eps) (next block's rms scale)
+#
+# so a decoder layer becomes kernel->attention->kernel->kernel with only
+# rope/attention math between kernels, and the rms scale chains from one
+# kernel's epilogue to the next's prologue as a (m, 1) scalar.
+
+
+def _make_kernel_fused(chunks: int, tile_d: int, n_tiles: int,
+                       d_tiles: int, *, has_norm: bool, has_silu: bool,
+                       has_res: bool, emit_ss: bool, n_real: int,
+                       eps: float, out_dtype):
+    def _kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        u_ref = next(it) if has_silu else None
+        ss_ref = next(it) if has_norm else None
+        nw_ref = next(it) if has_norm else None
+        qw_ref = next(it)
+        meta_ref = next(it)
+        res_ref = next(it) if has_res else None
+        o_ref = next(it)
+        sso_ref = next(it) if emit_ss else None
+        acc_ref = next(it)
+
+        j = pl.program_id(0)  # n-tile (outer)
+        i = pl.program_id(1)  # d-tile (inner)
+        sl = pl.ds(i * tile_d, tile_d)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:, sl] = jnp.zeros((acc_ref.shape[0], tile_d),
+                                       jnp.float32)
+
+        acc = acc_ref[:, sl]
+        for t in range(chunks):
+            words = qw_ref[t * 64:(t + 1) * 64, :]
+            for p in range(4):
+                g = t * 4 + p
+                gsl = pl.ds(g * 128, 128)
+                v = ((words >> (4 * p)) & _MASK) | _BF16_BIAS
+                q = pltpu.bitcast(v, jnp.bfloat16)
+                xi = x_ref[:, gsl]
+                if has_norm:
+                    xi = (xi.astype(jnp.float32) * ss_ref[:]
+                          * nw_ref[:, gsl]).astype(jnp.bfloat16)
+                elif has_silu:
+                    gf = xi.astype(jnp.float32)
+                    xi = (gf * jax.nn.sigmoid(gf)
+                          * u_ref[:, gsl].astype(jnp.float32)
+                          ).astype(jnp.bfloat16)
+                part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
+                sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
+                s = meta_ref[2 * g, :].astype(jnp.float32)
+                z128 = meta_ref[2 * g + 1, :].astype(jnp.float32)
+                acc = acc + (part - sx * z128[None, :]) * s[None, :]
+        acc_ref[:, sl] = acc
+
+        @pl.when((j == n_tiles - 1) & (i == d_tiles - 1))
+        def _():
+            val = acc_ref[:]
+            if has_res:
+                val = val + res_ref[:].astype(jnp.float32)
+            out = val.astype(out_dtype)
+            o_ref[:] = out
+            if emit_ss:
+                of = out.astype(jnp.float32)
+                ssq = jnp.sum(of * of, axis=1, keepdims=True)
+                sso_ref[:] = jax.lax.rsqrt(ssq / n_real + eps)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("emit_ss_eps", "out_dtype", "n_real",
+                              "interpret"))
+def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
+                          out_dtype, n_real, interpret=False):
+    m, n_pad = x2.shape
+    rows, d_pad = qw.shape
+    n_chunks = n_pad // PLANAR_BLOCK
+    tile_d, chunks = _pick_tiling(n_chunks, d_pad)
+    n_tiles = n_chunks // chunks
+    d_tiles = d_pad // tile_d
+    emit_ss = emit_ss_eps is not None
+
+    xspec = pl.BlockSpec((m, chunks * PLANAR_BLOCK), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    in_specs, args = [xspec], [x2]
+    if u2 is not None:
+        in_specs.append(xspec)
+        args.append(u2)
+    if ss is not None:
+        in_specs.append(full((m, 1)))
+        args.append(ss)
+        in_specs.append(pl.BlockSpec((1, chunks * PLANAR_BLOCK),
+                                     lambda j, i: (0, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(nw)
+    in_specs += [
+        pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunks * 8, tile_d), lambda j, i: (j, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [qw, meta]
+    if res is not None:
+        in_specs.append(full((m, d_pad)))
+        args.append(res)
+
+    out_shape = [jax.ShapeDtypeStruct((m, d_pad), out_dtype)]
+    out_specs = [full((m, d_pad))]
+    if emit_ss:
+        out_shape.append(jax.ShapeDtypeStruct((m, 1), jnp.float32))
+        out_specs.append(full((m, 1)))
+
+    cost = pl.CostEstimate(
+        flops=2 * m * n_pad * d_pad,
+        bytes_accessed=(rows * d_pad * 4 + meta.size * 2 + m * n_pad * 2
+                        + m * d_pad * 4),
+        transcendentals=m * n_pad if u2 is not None else 0,
+    )
+    outs = pl.pallas_call(
+        _make_kernel_fused(chunks, tile_d, n_tiles, d_tiles,
+                           has_norm=ss is not None, has_silu=u2 is not None,
+                           has_res=res is not None, emit_ss=emit_ss,
+                           n_real=n_real,
+                           eps=emit_ss_eps if emit_ss else 0.0,
+                           out_dtype=out_dtype),
+        grid=(n_tiles, d_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((m, d_pad), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return (outs[0], outs[1]) if emit_ss else (outs[0], None)
+
+
+def fused_supported(qt: QTensorTPU, m: int) -> bool:
+    """The fused variant needs the d-inner (full-output-row-resident)
+    schedule; larger m falls back to the unfused composite."""
+    return m * qt.d_pad * 4 <= _DINNER_OUT_BYTES
+
+
+def int4_matmul_fused(x: jax.Array, qt: QTensorTPU, *,
+                      prescale=None, silu_u=None, residual=None,
+                      emit_ss_eps=None, out_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Fused layer-step matmul (see module comment above).
+
+    x: (..., n_in); prescale: (ss (..., 1) f32, norm_w (n_in,) f32);
+    silu_u: (..., n_in) up-projection values (x is then the gate);
+    residual: (..., n_out) added to the output; emit_ss_eps: float ->
+    also return ss' = rsqrt(mean(out^2) + eps) of shape (..., 1).
+    Returns (out, ss') with ss' None unless requested.
+    """
+    lead = x.shape[:-1]
+    n_in = x.shape[-1]
+    assert n_in == qt.n_in, (n_in, qt.n_in)
+    assert prescale is None or silu_u is None
+    m = 1
+    for s in lead:
+        m *= s
+    assert fused_supported(qt, m)
+    pad_n = qt.n_pad - n_in
+
+    def prep(a):
+        a2 = a.reshape(m, n_in).astype(jnp.bfloat16)
+        return jnp.pad(a2, ((0, 0), (0, pad_n))) if pad_n else a2
+
+    x2 = prep(x)
+    u2 = prep(silu_u) if silu_u is not None else None
+    ss = nw = None
+    if prescale is not None:
+        ss, norm_w = prescale
+        ss = ss.reshape(m, 1).astype(jnp.float32)
+        nw = norm_w.reshape(1, n_in).astype(jnp.float32)
+        if pad_n:
+            nw = jnp.pad(nw, ((0, 0), (0, pad_n)))
+    res = None
+    if residual is not None:
+        assert qt.d_pad == qt.n_out, "residual needs an unpadded n_out"
+        res = residual.reshape(m, qt.n_out)
+    if emit_ss_eps is not None:
+        assert qt.d_pad == qt.n_out, "ss epilogue needs an unpadded n_out"
+
+    out, ss_out = _int4_matmul_fused_2d(
+        x2, u2, ss, nw, qt.qw, qt.meta, res, emit_ss_eps=emit_ss_eps,
+        out_dtype=jnp.dtype(out_dtype), n_real=qt.n_out,
+        interpret=interpret)
+    if qt.d_pad != qt.n_out:
+        out = out[:, : qt.n_out]
+    out = out.reshape(*lead, qt.n_out)
+    if ss_out is not None:
+        ss_out = ss_out.reshape(*lead, 1)
+    return out, ss_out

@@ -32,7 +32,11 @@ def main():
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--max-seq", type=int, default=None)
-    ap.add_argument("--chunk-size", type=int, default=64)
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="decode steps per device-resident lax.scan "
+                         "chunk (host syncs once per chunk); default "
+                         "128 for batch-1 decode, 16 for --mode batch "
+                         "(slot-reuse granularity)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=32)
@@ -42,6 +46,8 @@ def main():
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
     ap.add_argument("--attn-impl", default=None, choices=["flash"],
                     help="blockwise Pallas decode-attention kernel")
+    ap.add_argument("--lm-head-8bit", action="store_true",
+                    help="per-row int8 lm_head")
     args = ap.parse_args()
 
     import jax
@@ -68,11 +74,17 @@ def main():
         cfg = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=4,
                           n_kv_heads=4, vocab_size=512, seq_len=512)
     max_seq = args.max_seq or min(512, cfg.seq_len)
+    if args.chunk_size is None:
+        args.chunk_size = 16 if args.mode == "batch" else 128
 
     log(f"building synthetic {args.config} params "
         f"(tpu_layout={on_tpu})...")
     t0 = time.time()
     params = synthetic_params(cfg, seed=0, tpu_layout=on_tpu)
+    if args.lm_head_8bit:
+        from llama_cu_awq_tpu.models import quantize_lm_head
+
+        params = quantize_lm_head(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     log(f"params ready in {time.time()-t0:.1f}s")
 

@@ -59,6 +59,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=1, metavar="N",
                     help="tensor-parallel over N devices (Megatron-style "
                          "column/row sharding + psum over the ICI mesh)")
+    ap.add_argument("--lm-head-8bit", action="store_true",
+                    help="per-row int8 lm_head (halves the classifier "
+                         "HBM read; near-lossless; not with --tp)")
     return ap
 
 
@@ -116,6 +119,12 @@ def main(argv=None) -> int:
     else:
         params = params_from_checkpoint(ckpt, param_dtype=param_dtype,
                                         tpu_layout=tpu_layout)
+        if args.lm_head_8bit:
+            from llama_cu_awq_tpu.models import quantize_lm_head
+
+            params = quantize_lm_head(params)
+    if args.lm_head_8bit and args.tp > 1:
+        print("Warning: --lm-head-8bit is ignored with --tp")
     print("done!")
 
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)

@@ -4,6 +4,7 @@ from llama_cu_awq_tpu.models.llama import (
     forward,
     init_kv_cache,
     params_from_checkpoint,
+    quantize_lm_head,
     synthetic_params,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "forward",
     "init_kv_cache",
     "params_from_checkpoint",
+    "quantize_lm_head",
     "synthetic_params",
 ]

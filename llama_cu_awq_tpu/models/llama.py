@@ -244,6 +244,18 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
     )
 
 
+def quantize_lm_head(params: LlamaParams) -> LlamaParams:
+    """Opt-in: per-row symmetric int8 lm_head (quant/int8.py) — halves
+    the 262 MB/token classifier read of the reference design
+    (gpu_kernels.h:109-139) with near-lossless logits. Not supported
+    under TP (the vocab-sharded lm_head stays bf16 there)."""
+    from llama_cu_awq_tpu.quant.int8 import quantize_dense_int8
+
+    return LlamaParams(embed=params.embed,
+                       lm_head=quantize_dense_int8(params.lm_head),
+                       final_norm=params.final_norm, layers=params.layers)
+
+
 # ---------------------------------------------------------------------------
 # forward pass
 

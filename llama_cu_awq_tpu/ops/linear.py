@@ -141,17 +141,21 @@ def qmatmul_fused(x: jax.Array, qt, impl: str | None = None, *,
     return out, ss_out
 
 
-def dense_matmul(x: jax.Array, w: jax.Array,
-                 impl: str | None = None) -> jax.Array:
+def dense_matmul(x: jax.Array, w, impl: str | None = None) -> jax.Array:
     """Dense matmul with f32 accumulation; w is (n_out, n_in) row-major
-    like the reference's wcls (gpu_kernels.h:109-139). Operands keep
-    their storage dtype (bf16 on TPU -> native MXU path).
+    like the reference's wcls (gpu_kernels.h:109-139) — a bf16/fp16
+    jax.Array or an Int8Dense (quant/int8.py, the opt-in 8-bit lm_head).
 
-    On TPU, small-batch bf16 GEMVs route to the Pallas streaming kernel
+    On TPU, small-batch GEMVs route to the Pallas streaming kernel
     (ops/pallas/dense_gemv.py) — XLA's generic batch-1 matmul leaves
     ~2.5x HBM bandwidth on the table for the 262 MB lm_head read.
     """
+    from llama_cu_awq_tpu.quant.int8 import Int8Dense
+
     impl = impl or _DEFAULT_IMPL
+    scale = None
+    if isinstance(w, Int8Dense):
+        w, scale = w.w8, w.scale
     if impl in ("auto", "pallas") and _on_tpu():
         from llama_cu_awq_tpu.ops.pallas.dense_gemv import (
             dense_gemv,
@@ -159,6 +163,14 @@ def dense_matmul(x: jax.Array, w: jax.Array,
         )
 
         if supports(x, w):
-            return dense_gemv(x, w)
+            return dense_gemv(
+                x, w, scale.reshape(1, -1) if scale is not None else None)
+    if scale is not None:
+        # same staging as the kernel: int8 codes to bf16 (exact), f32
+        # accumulate, per-row scale applied to the accumulated result
+        acc = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        return acc * scale.reshape(1, -1)
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)

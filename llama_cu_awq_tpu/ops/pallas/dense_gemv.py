@@ -33,6 +33,17 @@ def _kernel(x_ref, w_ref, o_ref):
         preferred_element_type=jnp.float32)
 
 
+def _kernel_int8(x_ref, w_ref, s_ref, o_ref):
+    """int8 rows dequantized on the fly: the in-kernel bf16 convert is
+    VPU work fully hidden behind the (halved) weight stream; the per-row
+    scale (fed lane-major as (1, v)) lands as an output-column multiply
+    (quant/int8.py)."""
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = acc * s_ref[:]
+
+
 def _pick_tile(v: int, d: int, itemsize: int) -> int | None:
     """Largest row count that divides v, is a multiple of 128 (it is the
     LANE dim of the output block), and fits the tile budget; None if v
@@ -50,13 +61,14 @@ def supports(x: jax.Array, w: jax.Array, max_m: int = 256) -> bool:
     m = 1
     for s in x.shape[:-1]:
         m *= s
-    return (w.dtype == jnp.bfloat16 and x.shape[-1] == d
+    return (w.dtype in (jnp.bfloat16, jnp.int8) and x.shape[-1] == d
             and d % 128 == 0 and m <= max_m
-            and _pick_tile(v, d, 2) is not None)
+            and _pick_tile(v, d, w.dtype.itemsize) is not None)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _gemv_2d(x2: jax.Array, w: jax.Array, *, interpret=False) -> jax.Array:
+def _gemv_2d(x2: jax.Array, w: jax.Array, scale=None, *,
+             interpret=False) -> jax.Array:
     m, d = x2.shape
     v, _ = w.shape
     tile_v = _pick_tile(v, d, w.dtype.itemsize)
@@ -64,15 +76,20 @@ def _gemv_2d(x2: jax.Array, w: jax.Array, *, interpret=False) -> jax.Array:
         flops=2 * m * d * v,
         bytes_accessed=v * d * w.dtype.itemsize + m * d * 2 + m * v * 4,
         transcendentals=0)
+    in_specs = [
+        pl.BlockSpec((m, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, w]
+    if scale is not None:  # (1, v) f32, lane-major
+        in_specs.append(pl.BlockSpec((1, tile_v), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(scale)
     return pl.pallas_call(
-        _kernel,
+        _kernel if scale is None else _kernel_int8,
         grid=(v // tile_v,),
-        in_specs=[
-            pl.BlockSpec((m, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_v, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, tile_v), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, v), jnp.float32),
@@ -80,17 +97,18 @@ def _gemv_2d(x2: jax.Array, w: jax.Array, *, interpret=False) -> jax.Array:
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(x2, w)
+    )(*args)
 
 
-def dense_gemv(x: jax.Array, w: jax.Array, *,
+def dense_gemv(x: jax.Array, w: jax.Array, scale=None, *,
                interpret: bool = False) -> jax.Array:
-    """x: (..., d) -> (..., v) f32 logits; w: (v, d) bf16 row-major."""
+    """x: (..., d) -> (..., v) f32 logits; w: (v, d) row-major, bf16 or
+    int8 (with scale: (v, 1) f32 per-row dequant factors)."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     m = 1
     for s in lead:
         m *= s
-    out = _gemv_2d(x.reshape(m, d).astype(jnp.bfloat16), w,
+    out = _gemv_2d(x.reshape(m, d).astype(jnp.bfloat16), w, scale,
                    interpret=interpret)
     return out.reshape(*lead, w.shape[0])

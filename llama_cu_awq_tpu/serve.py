@@ -1,0 +1,404 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+A production-deployment capability extension (BASELINE.json north star:
+"continuous batching of concurrent requests"; the reference is a
+single-request CLI, llama2_q4.cu:436-492). Stdlib-only (no FastAPI in
+the image): ThreadingHTTPServer + an engine thread.
+
+Architecture
+------------
+- `ServingEngine`: owns a BatchEngine and ONE background thread that
+  drives it with the same one-chunk lookahead as BatchEngine.run()
+  (chunk N+1 computes on device while the host routes chunk N's
+  tokens). HTTP handler threads only enqueue requests and block on
+  per-request token queues — all device work stays on the engine
+  thread, so the TPU never sees concurrent clients.
+- Endpoints (OpenAI-compatible shapes):
+    POST /v1/completions   {"prompt", "max_tokens", "stream": bool}
+                           -> text_completion JSON, or SSE stream of
+                              {"choices":[{"text": piece}]} chunks
+    GET  /v1/models        -> model listing
+    GET  /health           -> {"status": "ok"}
+    GET  /stats            -> engine counters (requests, tok/s, ...)
+- Sampling (temperature/top-p/seed) is engine-global, set at server
+  start — the same contract as the reference's CLI flags.
+
+CLI: python -m llama_cu_awq_tpu.serve model.bin -z tokenizer.bin \
+         [--port 8000] [--slots 16] [--tp N] [engine flags]
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
+
+
+class ServingEngine:
+    """Thread-safe continuous-batching driver with streaming outputs."""
+
+    def __init__(self, batch_engine, tokenizer):
+        self.be = batch_engine
+        self.tokenizer = tokenizer
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._queues: dict[int, queue.Queue] = {}
+        self._running = False
+        self._thread: threading.Thread | None = None
+        self.started_t = time.time()
+        self.total_requests = 0
+        self.total_tokens = 0
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serving-engine")
+        self._thread.start()
+
+    def stop(self):
+        with self._work:
+            self._running = False
+            self._work.notify()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    # -- request API (called from handler threads) ----------------------
+
+    def submit(self, prompt: str | list[int], max_new: int):
+        """Queue a request; returns (request_id, token_queue). The queue
+        yields lists of token ids and a final None sentinel."""
+        q: queue.Queue = queue.Queue()
+        with self._work:
+            rid = self.be.submit(prompt, max_new=max_new)
+            self._queues[rid] = q
+            self.total_requests += 1
+            self._work.notify()
+        return rid, q
+
+    # -- engine thread ---------------------------------------------------
+
+    def _loop(self):
+        """BatchEngine.run()'s lookahead loop, but endless: chunk N+1 is
+        dispatched before chunk N's tokens are fetched/routed."""
+        in_flight = None
+        while True:
+            with self._work:
+                if not self._running:
+                    break
+                nxt = self.be._dispatch_chunk() if self.be.pending else None
+                if in_flight is None and nxt is None:
+                    self._work.wait(timeout=0.5)
+                    continue
+            if in_flight is not None:
+                self._route(self.be._process_chunk(in_flight))
+            in_flight = nxt
+        if in_flight is not None:
+            self._route(self.be._process_chunk(in_flight))
+
+    def _route(self, results):
+        for rid, new_tokens, finished in results:
+            q = self._queues.get(rid)
+            if q is None:
+                continue
+            if new_tokens:
+                q.put(new_tokens)
+                self.total_tokens += len(new_tokens)
+            if finished:
+                q.put(None)
+                with self._lock:
+                    self._queues.pop(rid, None)
+
+    # -- helpers ---------------------------------------------------------
+
+    def stats(self) -> dict:
+        with self._lock:
+            active = self.be.scheduler.num_active
+            queued = self.be.scheduler.num_queued
+        up = time.time() - self.started_t
+        return {
+            "uptime_s": round(up, 1),
+            "requests": self.total_requests,
+            "generated_tokens": self.total_tokens,
+            "active_slots": active,
+            "queued_requests": queued,
+            "slots": self.be.n_slots,
+            "max_seq": self.be.max_seq,
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # class attributes injected by make_server()
+    engine: ServingEngine = None
+    model_name: str = "llama"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        from llama_cu_awq_tpu.utils.logging import get_logger
+
+        get_logger("serve").debug(fmt % args)
+
+    # -- GET -------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        elif self.path == "/stats":
+            self._json(200, self.engine.stats())
+        elif self.path == "/v1/models":
+            self._json(200, {"object": "list", "data": [
+                {"id": self.model_name, "object": "model",
+                 "owned_by": "llama_cu_awq_tpu"}]})
+        else:
+            self._json(404, {"error": "not found"})
+
+    # -- POST ------------------------------------------------------------
+
+    def do_POST(self):
+        chat = self.path in ("/v1/chat/completions", "/chat/completions")
+        if not chat and self.path not in ("/v1/completions", "/completions"):
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            if chat:
+                prompt = render_chat(req.get("messages", []))
+            else:
+                prompt = req.get("prompt", "")
+            max_tokens = int(req.get("max_tokens", 128))
+            stream = bool(req.get("stream", False))
+        except (ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": f"bad request: {e}"})
+            return
+
+        eng = self.engine
+        tok = eng.tokenizer
+        try:
+            rid, q = eng.submit(prompt, max_new=max_tokens)
+        except ValueError as e:  # prompt too long for the KV cache
+            self._json(400, {"error": str(e)})
+            return
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        prev = {"t": _last_prompt_token(tok, prompt)}
+
+        def pieces(tokens):
+            out = []
+            for t in tokens:
+                out.append(tok.safe_piece(tok.decode(prev["t"], t)))
+                prev["t"] = t
+            return "".join(out)
+
+        def choice(text, reason):
+            if chat:
+                return {"index": 0, "delta": {"content": text},
+                        "finish_reason": reason}
+            return {"index": 0, "text": text, "finish_reason": reason}
+
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        if not stream:
+            chunks, ids = [], []
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                ids.extend(item)
+                chunks.append(pieces(item))
+            text, n = "".join(chunks), len(ids)
+            if chat:
+                self._json(200, {
+                    "id": cid, "object": "chat.completion",
+                    "created": int(time.time()), "model": self.model_name,
+                    "choices": [{"index": 0,
+                                 "message": {"role": "assistant",
+                                             "content": text},
+                                 "finish_reason": "stop"}],
+                    "usage": {"completion_tokens": n}})
+            else:
+                body = _completion_body(cid, self.model_name, text, n)
+                body["choices"][0]["token_ids"] = ids  # extension field
+                self._json(200, body)
+            return
+
+        # SSE streaming
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    self._sse(json.dumps({
+                        "id": cid, "object": obj,
+                        "choices": [choice("", "stop")]}))
+                    self._sse("[DONE]")
+                    break
+                self._sse(json.dumps({
+                    "id": cid, "object": obj,
+                    "choices": [choice(pieces(item), None)]}))
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away; the engine finishes the slot anyway
+
+    # -- wire helpers ----------------------------------------------------
+
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _sse(self, data: str):
+        payload = f"data: {data}\n\n".encode()
+        self.wfile.write(f"{len(payload):x}\r\n".encode())
+        self.wfile.write(payload + b"\r\n")
+        self.wfile.flush()
+
+
+def render_chat(messages) -> str:
+    """Render OpenAI-style messages with the Llama-2 chat schema the
+    reference's chat mode uses (llama2_q4.cu:555-562): the system prompt
+    joins the first user turn inside <<SYS>> tags, each (user, assistant)
+    pair is `[INST] u [/INST] a`, and the prompt ends after the final
+    user turn's [/INST] for the model to answer."""
+    if not isinstance(messages, list):
+        raise ValueError("messages must be a list")
+    system = None
+    turns = []  # (user_text, assistant_text | None)
+    for m in messages:
+        role, content = m.get("role"), m.get("content", "")
+        if role == "system":
+            system = content
+        elif role == "user":
+            turns.append([content, None])
+        elif role == "assistant":
+            if not turns or turns[-1][1] is not None:
+                raise ValueError("assistant message without a user turn")
+            turns[-1][1] = content
+        else:
+            raise ValueError(f"unknown role: {role!r}")
+    if not turns or turns[-1][1] is not None:
+        raise ValueError("conversation must end with a user message")
+    parts = []
+    for i, (user, assistant) in enumerate(turns):
+        if i == 0 and system:
+            user = f"<<SYS>>\n{system}\n<</SYS>>\n\n{user}"
+        parts.append(f"[INST] {user} [/INST]")
+        if assistant is not None:
+            parts.append(f" {assistant} ")
+    return "".join(parts)
+
+
+def _last_prompt_token(tok, prompt) -> int:
+    if isinstance(prompt, str):
+        ids = tok.encode(prompt, bos=True, eos=False)
+        return ids[-1] if ids else BOS_TOKEN
+    return prompt[-1] if prompt else BOS_TOKEN
+
+
+def _completion_body(cid, model, text, n_tokens):
+    return {
+        "id": cid,
+        "object": "text_completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [{"index": 0, "text": text, "finish_reason": "stop"}],
+        "usage": {"completion_tokens": n_tokens},
+    }
+
+
+def make_server(batch_engine, tokenizer, host="0.0.0.0", port=8000,
+                model_name="llama") -> tuple[ThreadingHTTPServer,
+                                             ServingEngine]:
+    """Build (http_server, serving_engine); caller starts/stops both."""
+    eng = ServingEngine(batch_engine, tokenizer)
+    handler = type("BoundHandler", (_Handler,),
+                   {"engine": eng, "model_name": model_name})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    return httpd, eng
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="llama-tpu-serve",
+        description="OpenAI-style HTTP server over the continuous-"
+                    "batching TPU engine")
+    ap.add_argument("checkpoint")
+    ap.add_argument("-z", dest="tokenizer", default="tokenizer.bin")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument("-t", dest="temperature", type=float, default=0.5)
+    ap.add_argument("-p", dest="topp", type=float, default=0.6)
+    ap.add_argument("-s", dest="seed", type=int, default=0)
+    ap.add_argument("--chunk-size", type=int, default=8)
+    ap.add_argument("--kv-quant", action="store_true")
+    ap.add_argument("--impl", dest="matmul_impl", default=None,
+                    choices=["auto", "dequant", "pallas"])
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+    if args.seed <= 0:
+        args.seed = int(time.time())
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from llama_cu_awq_tpu.engine.batch import BatchEngine
+    from llama_cu_awq_tpu.io.checkpoint import load_checkpoint
+    from llama_cu_awq_tpu.models import params_from_checkpoint
+    from llama_cu_awq_tpu.tokenizer import Tokenizer
+    from llama_cu_awq_tpu.utils.logging import get_logger
+
+    log = get_logger("serve")
+    ckpt = load_checkpoint(args.checkpoint, verbose=True)
+    tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    mesh = None
+    if args.tp > 1:
+        from llama_cu_awq_tpu.parallel import make_mesh, tp_params_from_checkpoint
+        from llama_cu_awq_tpu.parallel.tp import place_params
+
+        mesh = make_mesh(tp=args.tp, dp=1, devices=jax.devices()[:args.tp])
+        params = place_params(tp_params_from_checkpoint(ckpt, args.tp),
+                              ckpt.config, mesh)
+    else:
+        params = params_from_checkpoint(ckpt, tpu_layout=on_tpu)
+    be = BatchEngine(params, ckpt.config, tokenizer, n_slots=args.slots,
+                     max_seq=args.max_seq, temperature=args.temperature,
+                     topp=args.topp, seed=args.seed, kv_quant=args.kv_quant,
+                     matmul_impl=args.matmul_impl,
+                     chunk_size=args.chunk_size, mesh=mesh)
+    httpd, eng = make_server(be, tokenizer, args.host, args.port)
+    eng.start()
+    log.info("serving on %s:%d (%d slots, max_seq %d)", args.host,
+             args.port, args.slots, be.max_seq)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        eng.stop()
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

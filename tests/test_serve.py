@@ -1,0 +1,214 @@
+"""HTTP serving front-end tests: completions (blocking + SSE streaming),
+concurrency over limited slots, health/stats — tiny model on the CPU
+backend, real sockets via stdlib urllib."""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import pytest
+
+from llama_cu_awq_tpu.engine.batch import BatchEngine
+from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
+from llama_cu_awq_tpu.models import params_from_checkpoint
+from llama_cu_awq_tpu.serve import make_server
+from llama_cu_awq_tpu.tokenizer import Tokenizer
+
+from conftest import REFERENCE_TOKENIZER
+
+
+@pytest.fixture(scope="module")
+def server(tiny_server_config):
+    cfg, params, tokenizer = tiny_server_config
+    be = BatchEngine(params, cfg, tokenizer, n_slots=2, max_seq=96,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     temperature=0.0, chunk_size=4)
+    httpd, eng = make_server(be, tokenizer, host="127.0.0.1", port=0,
+                             model_name="tiny-llama")
+    port = httpd.server_address[1]
+    eng.start()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", be
+    httpd.shutdown()
+    eng.stop()
+    httpd.server_close()
+
+
+@pytest.fixture(scope="module")
+def tiny_server_config():
+    from llama_cu_awq_tpu.config import ModelConfig
+
+    cfg = ModelConfig(dim=64, hidden_dim=160, n_layers=2, n_heads=4,
+                      n_kv_heads=2, vocab_size=32000, seq_len=96)
+    params = params_from_checkpoint(random_checkpoint(cfg, seed=11),
+                                    param_dtype=jnp.float32)
+    tokenizer = Tokenizer(REFERENCE_TOKENIZER, cfg.vocab_size)
+    return cfg, params, tokenizer
+
+
+def _post(base, path, body, timeout=300):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_models_stats(server):
+    base, be = server
+    assert _get(base, "/health") == (200, {"status": "ok"})
+    st, models = _get(base, "/v1/models")
+    assert st == 200 and models["data"][0]["id"] == "tiny-llama"
+    st, stats = _get(base, "/stats")
+    assert st == 200 and stats["slots"] == 2
+
+
+def test_completion_blocking(server):
+    base, be = server
+    st, raw = _post(base, "/v1/completions",
+                    {"prompt": "Once upon a time", "max_tokens": 6})
+    assert st == 200
+    body = json.loads(raw)
+    assert body["object"] == "text_completion"
+    assert body["choices"][0]["finish_reason"] == "stop"
+    assert body["usage"]["completion_tokens"] >= 1
+    assert isinstance(body["choices"][0]["text"], str)
+
+
+def test_completion_matches_engine(server, tiny_server_config):
+    """Server tokens are greedy-consistent with a direct forward()
+    replay of the same prompt (temperature 0), and the returned text is
+    the piecewise detokenization of those tokens."""
+    from test_batch_engine import assert_greedy_consistent
+
+    base, be = server
+    cfg, params, tokenizer = tiny_server_config
+    st, raw = _post(base, "/v1/completions",
+                    {"prompt": "hello world", "max_tokens": 5})
+    choice = json.loads(raw)["choices"][0]
+    toks = choice["token_ids"]
+    prompt_ids = tokenizer.encode("hello world", bos=True, eos=False)
+    # tol 0.5: the server's executable is fixed for the module, so the
+    # fresh-compile retry (test_batch_engine.retry_compile_lottery) is
+    # unavailable; real routing bugs produce gaps >> 1 regardless
+    assert_greedy_consistent(params, cfg, prompt_ids, toks, tol=0.5)
+    prev = prompt_ids[-1]
+    want = []
+    for t in toks:
+        want.append(tokenizer.safe_piece(tokenizer.decode(prev, t)))
+        prev = t
+    assert choice["text"] == "".join(want)
+
+
+def test_streaming_sse(server):
+    base, be = server
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": "stream me", "max_tokens": 5,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    payloads = [json.loads(e) for e in events[:-1]]
+    assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(p["choices"][0]["text"] for p in payloads)
+    assert isinstance(text, str)
+
+
+def test_concurrent_requests_share_slots(server):
+    """4 concurrent clients over 2 slots all complete."""
+    base, be = server
+    results = {}
+
+    def client(i):
+        st, raw = _post(base, "/v1/completions",
+                        {"prompt": f"request number {i}",
+                         "max_tokens": 4})
+        results[i] = (st, json.loads(raw))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results) == 4
+    for st, body in results.values():
+        assert st == 200
+        assert body["usage"]["completion_tokens"] >= 1
+    st, stats = _get(base, "/stats")
+    assert stats["requests"] >= 4
+
+
+def test_chat_completion(server):
+    base, be = server
+    st, raw = _post(base, "/v1/chat/completions", {
+        "messages": [
+            {"role": "system", "content": "you are a pirate"},
+            {"role": "user", "content": "say hello"},
+        ],
+        "max_tokens": 5})
+    assert st == 200
+    body = json.loads(raw)
+    assert body["object"] == "chat.completion"
+    msg = body["choices"][0]["message"]
+    assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+
+def test_chat_template_rendering():
+    from llama_cu_awq_tpu.serve import render_chat
+
+    # single turn with system prompt: reference schema llama2_q4.cu:555-562
+    assert render_chat([
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "hi"},
+    ]) == "[INST] <<SYS>>\nsys\n<</SYS>>\n\nhi [/INST]"
+    # multi-turn
+    assert render_chat([
+        {"role": "user", "content": "a"},
+        {"role": "assistant", "content": "b"},
+        {"role": "user", "content": "c"},
+    ]) == "[INST] a [/INST] b [INST] c [/INST]"
+    # must end with a user message
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        render_chat([{"role": "user", "content": "a"},
+                     {"role": "assistant", "content": "b"}])
+
+
+def test_bad_requests(server):
+    base, be = server
+    # malformed JSON
+    req = urllib.request.Request(
+        base + "/v1/completions", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # oversize prompt (max_seq 96)
+    try:
+        _post(base, "/v1/completions",
+              {"prompt": "word " * 300, "max_tokens": 4})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown path
+    try:
+        _get(base, "/nope")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -51,7 +51,7 @@ from llama_cu_awq_tpu.models.llama import (
     LlamaParams,
     init_kv_cache,
 )
-from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
+from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token, sample_token_vec
 from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN
 
 
@@ -60,6 +60,8 @@ class _Req:
     id: int
     prompt: list[int]
     max_new: int
+    temperature: float = 0.0
+    topp: float = 0.6
     out: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
     submit_t: float = 0.0
@@ -104,6 +106,10 @@ class BatchEngine:
         self.cache = self._init_cache()
         self.pos = np.zeros(n_slots, np.int32)       # next write position
         self.last_token = np.zeros(n_slots, np.int32)
+        # per-slot sampling params (requests may override the engine
+        # defaults at submit())
+        self.slot_temp = np.zeros(n_slots, np.float32)
+        self.slot_topp = np.zeros(n_slots, np.float32)
         self._requests: dict[int, _Req] = {}
         self._slot_req: list[_Req | None] = [None] * n_slots
         self._pending: list[list[int]] = [[] for _ in range(n_slots)]
@@ -167,10 +173,11 @@ class BatchEngine:
         coins/forced/force_mask: (K, S); tokens: (S,) sampled carries.
         """
 
-        @functools.partial(engine_jit, static_argnames=("attn_len",),
+        @functools.partial(engine_jit,
+                           static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
         def chunk(params, tokens, pos, cache, coins, forced, force_mask,
-                  *, attn_len):
+                  temps, topps, *, attn_len, sampled):
             def body(carry, xs):
                 tokens, pos, cache = carry
                 coin, f_tok, f_on = xs
@@ -179,7 +186,10 @@ class BatchEngine:
                     params, in_tok[:, None], pos, cache,
                     attn_len=attn_len, act_dtype=self.act_dtype,
                     matmul_impl=self.matmul_impl, attn_impl=self.attn_impl)
-                nxt = sample_token(logits, coin, self.temperature, self.topp)
+                if sampled:  # per-slot temperature/top_p
+                    nxt = sample_token_vec(logits, coin, temps, topps)
+                else:        # all-greedy fast path (no sort/softmax)
+                    nxt = sample_token(logits, coin, 0.0, 0.0)
                 nxt = nxt[:, 0] if nxt.ndim > 1 else nxt
                 nxt = jnp.where(nxt >= self.cfg.vocab_size, 0, nxt)
                 return (nxt, pos + 1, cache), nxt
@@ -200,13 +210,19 @@ class BatchEngine:
         self.cache = self._init_cache()
         self.pos = np.zeros(self.n_slots, np.int32)
         self.last_token = np.zeros(self.n_slots, np.int32)
+        self.slot_temp = np.zeros(self.n_slots, np.float32)
+        self.slot_topp = np.zeros(self.n_slots, np.float32)
         self._requests = {}
         self._slot_req = [None] * self.n_slots
         self._pending = [[] for _ in range(self.n_slots)]
 
-    def submit(self, prompt: str | list[int], max_new: int = 0) -> int:
+    def submit(self, prompt: str | list[int], max_new: int = 0,
+               temperature: float | None = None,
+               topp: float | None = None) -> int:
         """Queue a request; returns its id. prompt may be text (needs a
-        tokenizer) or a token list (BOS added if missing)."""
+        tokenizer) or a token list (BOS added if missing).
+        temperature/topp default to the engine's settings; per-request
+        values ride the same batched step (sampling.sample_token_vec)."""
         if isinstance(prompt, str):
             tokens = self.tokenizer.encode(prompt, bos=True, eos=False)
         else:
@@ -219,7 +235,11 @@ class BatchEngine:
                 f"{self.max_seq}")
         rid = self._next_id
         self._next_id += 1
-        req = _Req(rid, tokens, max_new, submit_t=time.time())
+        req = _Req(rid, tokens, max_new,
+                   temperature=(self.temperature if temperature is None
+                                else max(temperature, 0.0)),
+                   topp=self.topp if topp is None else topp,
+                   submit_t=time.time())
         self._requests[rid] = req
         ok = self.scheduler.add(rid, len(tokens), max_new)
         assert ok, "scheduler rejected a size-checked request"
@@ -234,6 +254,8 @@ class BatchEngine:
         for slot, rid in self.scheduler.admit():
             req = self._requests[rid]
             self._slot_req[slot] = req
+            self.slot_temp[slot] = req.temperature
+            self.slot_topp[slot] = req.topp
             tokens = req.prompt
             if len(tokens) <= self.FORCED_PROMPT_MAX:
                 self.pos[slot] = 0
@@ -305,10 +327,14 @@ class BatchEngine:
             [[self.rng.random_f32() for _ in range(self.n_slots)]
              for _ in range(k)], jnp.float32)
         attn_len = self._bucket_for(int(self.pos[active].max()) + k)
+        # all-greedy chunks skip the vectorized sampler entirely (the
+        # nucleus path sorts (S, vocab) every step)
+        sampled = bool((self.slot_temp[active] > 0.0).any())
         toks, self.cache = self._decode_chunk_fn(
             self.params, jnp.asarray(self.last_token), jnp.asarray(self.pos),
             self.cache, coins, jnp.asarray(forced), jnp.asarray(mask),
-            attn_len=attn_len)
+            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topp),
+            attn_len=attn_len, sampled=sampled)
         # owners recorded at dispatch: a slot freed while this chunk was
         # in flight must have its tokens discarded at process time
         owners = {s: self._slot_req[s] for s in active}

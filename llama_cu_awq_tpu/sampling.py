@@ -81,3 +81,35 @@ def sample_token(logits: jax.Array, coin: jax.Array, temperature: float,
 def greedy(logits: jax.Array) -> jax.Array:
     """Argmax sampling (argmax_kernel, gpu_kernels.h:448-493)."""
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_token_vec(logits: jax.Array, coin: jax.Array,
+                     temperature: jax.Array, topp: jax.Array) -> jax.Array:
+    """Per-row sampling parameters (continuous batching serves requests
+    with different temperature/top_p in one batched step — a capability
+    extension over the reference's process-global sampler, sampler.h).
+
+    logits: (B, V) f32; coin/temperature/topp: (B,). Rows with
+    temperature <= 0 are greedy; rows with topp outside (0, 1) use the
+    unsorted-CDF inversion; otherwise sorted nucleus sampling — each
+    branch with the exact semantics of `sample_token`.
+    """
+    V = logits.shape[-1]
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(logits / t, axis=-1)
+
+    cdf = jnp.cumsum(probs, axis=-1)
+    plain = jnp.minimum(jnp.sum(cdf < coin[:, None], axis=-1),
+                        V - 1).astype(jnp.int32)
+
+    order = jnp.argsort(-probs, axis=-1, stable=True)
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    cdf_s = jnp.cumsum(sorted_probs, axis=-1)
+    thr = (coin * topp)[:, None]
+    idx = jnp.minimum(jnp.sum(cdf_s < thr, axis=-1, keepdims=True), V - 1)
+    nucleus = jnp.take_along_axis(order, idx, axis=-1)[:, 0].astype(
+        jnp.int32)
+
+    sampled = jnp.where((topp > 0.0) & (topp < 1.0), nucleus, plain)
+    return jnp.where(temperature <= 0.0, greedy_tok, sampled)

@@ -71,12 +71,15 @@ class ServingEngine:
 
     # -- request API (called from handler threads) ----------------------
 
-    def submit(self, prompt: str | list[int], max_new: int):
+    def submit(self, prompt: str | list[int], max_new: int,
+               temperature: float | None = None,
+               topp: float | None = None):
         """Queue a request; returns (request_id, token_queue). The queue
         yields lists of token ids and a final None sentinel."""
         q: queue.Queue = queue.Queue()
         with self._work:
-            rid = self.be.submit(prompt, max_new=max_new)
+            rid = self.be.submit(prompt, max_new=max_new,
+                                 temperature=temperature, topp=topp)
             self._queues[rid] = q
             self.total_requests += 1
             self._work.notify()
@@ -174,14 +177,21 @@ class _Handler(BaseHTTPRequestHandler):
                 prompt = req.get("prompt", "")
             max_tokens = int(req.get("max_tokens", 128))
             stream = bool(req.get("stream", False))
-        except (ValueError, json.JSONDecodeError) as e:
+            temperature = req.get("temperature")
+            topp = req.get("top_p")
+            if temperature is not None:
+                temperature = float(temperature)
+            if topp is not None:
+                topp = float(topp)
+        except (ValueError, json.JSONDecodeError, TypeError) as e:
             self._json(400, {"error": f"bad request: {e}"})
             return
 
         eng = self.engine
         tok = eng.tokenizer
         try:
-            rid, q = eng.submit(prompt, max_new=max_tokens)
+            rid, q = eng.submit(prompt, max_new=max_tokens,
+                                temperature=temperature, topp=topp)
         except ValueError as e:  # prompt too long for the KV cache
             self._json(400, {"error": str(e)})
             return

@@ -48,6 +48,10 @@ def main():
                     help="blockwise Pallas decode-attention kernel")
     ap.add_argument("--lm-head-8bit", action="store_true",
                     help="per-row int8 lm_head")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel over N chips (mesh + shard_map; "
+                         "needs N devices — the multi-chip benchmark "
+                         "config, BASELINE.json '13B tensor-sharded')")
     args = ap.parse_args()
 
     import jax
@@ -78,25 +82,33 @@ def main():
         args.chunk_size = 16 if args.mode == "batch" else 128
 
     log(f"building synthetic {args.config} params "
-        f"(tpu_layout={on_tpu})...")
+        f"(tpu_layout={on_tpu}, tp={args.tp})...")
     t0 = time.time()
-    params = synthetic_params(cfg, seed=0, tpu_layout=on_tpu)
-    if args.lm_head_8bit:
-        from llama_cu_awq_tpu.models import quantize_lm_head
+    mesh = None
+    if args.tp > 1:
+        from llama_cu_awq_tpu.parallel import make_mesh, tp_synthetic_params
 
-        params = quantize_lm_head(params)
+        mesh = make_mesh(tp=args.tp, dp=1,
+                         devices=jax.devices()[:args.tp])
+        params = tp_synthetic_params(cfg, mesh, seed=0)
+    else:
+        params = synthetic_params(cfg, seed=0, tpu_layout=on_tpu)
+        if args.lm_head_8bit:
+            from llama_cu_awq_tpu.models import quantize_lm_head
+
+            params = quantize_lm_head(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     log(f"params ready in {time.time()-t0:.1f}s")
 
     impl = "pallas" if on_tpu else "dequant"
     if args.mode == "batch":
-        return bench_batch(args, cfg, params, max_seq, impl)
+        return bench_batch(args, cfg, params, max_seq, impl, mesh)
 
     engine = InferenceEngine(
         params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
         matmul_impl=impl, attn_impl=args.attn_impl,
         max_seq=max_seq, temperature=0.0, seed=1234,
-        chunk_size=args.chunk_size)
+        chunk_size=args.chunk_size, mesh=mesh)
 
     prompt = list(range(5, 5 + args.prompt_len))
     steps = min(args.steps, max_seq - 2)
@@ -121,7 +133,8 @@ def main():
         best = max(best, tok_s)
 
     result = {
-        "metric": f"decode_tok_s_{args.config}_w4g128_b1",
+        "metric": f"decode_tok_s_{args.config}_w4g128_b1"
+                  + (f"_tp{args.tp}" if args.tp > 1 else ""),
         "value": round(best, 2),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),
@@ -129,7 +142,7 @@ def main():
     print(json.dumps(result))
 
 
-def bench_batch(args, cfg, params, max_seq, impl):
+def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
     """Continuous-batching aggregate throughput: N requests over S slots,
     one chip (BASELINE.json's continuous-batching axis). Decode is
     weight-bandwidth-bound, so aggregate tok/s should approach
@@ -148,7 +161,8 @@ def bench_batch(args, cfg, params, max_seq, impl):
     eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
                       kv_quant=args.kv_quant,
-                      temperature=0.0, chunk_size=args.chunk_size)
+                      temperature=0.0, chunk_size=args.chunk_size,
+                      mesh=mesh)
 
     def one_run():
         eng.reset()
@@ -170,7 +184,8 @@ def bench_batch(args, cfg, params, max_seq, impl):
         best = max(best, tok_s)
     print(json.dumps({
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
-                  f"_r{args.requests}" + ("_kvq8" if args.kv_quant else ""),
+                  f"_r{args.requests}" + ("_kvq8" if args.kv_quant else "")
+                  + (f"_tp{args.tp}" if args.tp > 1 else ""),
         "value": round(best, 1),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

@@ -1,4 +1,9 @@
 from llama_cu_awq_tpu.parallel.mesh import make_mesh
+from llama_cu_awq_tpu.parallel.multihost import (
+    init_multihost,
+    is_coordinator,
+    pod_mesh,
+)
 from llama_cu_awq_tpu.parallel.tp import (
     make_shard_forward,
     make_tp_forward,
@@ -11,7 +16,10 @@ from llama_cu_awq_tpu.parallel.tp import (
 )
 
 __all__ = [
+    "init_multihost",
+    "is_coordinator",
     "make_mesh",
+    "pod_mesh",
     "make_shard_forward",
     "make_tp_forward",
     "place_params",

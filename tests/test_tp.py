@@ -115,3 +115,18 @@ def test_mesh_construction():
     assert m2.shape["tp"] == len(jax.devices())
     with pytest.raises(ValueError):
         make_mesh(tp=3, dp=3)
+
+
+def test_multihost_helpers():
+    """Single-process views of the multi-host helpers: pod_mesh
+    factorizes local-chips x hosts, init is a no-op at 1 process."""
+    from llama_cu_awq_tpu.parallel import (
+        init_multihost,
+        is_coordinator,
+        pod_mesh,
+    )
+
+    init_multihost(num_processes=1)  # must not require a coordinator
+    m = pod_mesh(tp=4)
+    assert m.shape == {"dp": len(jax.devices()) // 4, "tp": 4}
+    assert is_coordinator()

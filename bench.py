@@ -46,8 +46,13 @@ def main():
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
     ap.add_argument("--attn-impl", default=None, choices=["flash"],
                     help="blockwise Pallas decode-attention kernel")
-    ap.add_argument("--lm-head-8bit", action="store_true",
+    ap.add_argument("--lm-head-8bit", dest="lm_head_bits",
+                    action="store_const", const=8,
                     help="per-row int8 lm_head")
+    ap.add_argument("--lm-head-bits", dest="lm_head_bits", type=int,
+                    default=None, choices=[8, 4],
+                    help="quantize the lm_head (8: per-row int8, "
+                         "4: w4-g128 via the int4 kernel)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel over N chips (mesh + shard_map; "
                          "needs N devices — the multi-chip benchmark "
@@ -93,10 +98,10 @@ def main():
         params = tp_synthetic_params(cfg, mesh, seed=0)
     else:
         params = synthetic_params(cfg, seed=0, tpu_layout=on_tpu)
-        if args.lm_head_8bit:
+        if args.lm_head_bits:
             from llama_cu_awq_tpu.models import quantize_lm_head
 
-            params = quantize_lm_head(params)
+            params = quantize_lm_head(params, bits=args.lm_head_bits)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     log(f"params ready in {time.time()-t0:.1f}s")
 

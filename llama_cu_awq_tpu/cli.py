@@ -59,9 +59,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=1, metavar="N",
                     help="tensor-parallel over N devices (Megatron-style "
                          "column/row sharding + psum over the ICI mesh)")
-    ap.add_argument("--lm-head-8bit", action="store_true",
+    ap.add_argument("--lm-head-8bit", dest="lm_head_bits",
+                    action="store_const", const=8,
                     help="per-row int8 lm_head (halves the classifier "
                          "HBM read; near-lossless; not with --tp)")
+    ap.add_argument("--lm-head-bits", dest="lm_head_bits", type=int,
+                    default=None, choices=[8, 4],
+                    help="quantize the lm_head (8: per-row int8, "
+                         "4: w4-g128 via the int4 kernel; not with --tp)")
     return ap
 
 
@@ -119,12 +124,13 @@ def main(argv=None) -> int:
     else:
         params = params_from_checkpoint(ckpt, param_dtype=param_dtype,
                                         tpu_layout=tpu_layout)
-        if args.lm_head_8bit:
+        if args.lm_head_bits:
             from llama_cu_awq_tpu.models import quantize_lm_head
 
-            params = quantize_lm_head(params)
-    if args.lm_head_8bit and args.tp > 1:
-        print("Warning: --lm-head-8bit is ignored with --tp")
+            params = quantize_lm_head(params, bits=args.lm_head_bits,
+                                      tpu_layout=tpu_layout)
+    if args.lm_head_bits and args.tp > 1:
+        print("Warning: --lm-head-bits is ignored with --tp")
     print("done!")
 
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)

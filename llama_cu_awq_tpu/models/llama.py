@@ -244,15 +244,33 @@ def synthetic_params(cfg: ModelConfig, seed: int = 0,
     )
 
 
-def quantize_lm_head(params: LlamaParams) -> LlamaParams:
-    """Opt-in: per-row symmetric int8 lm_head (quant/int8.py) — halves
-    the 262 MB/token classifier read of the reference design
-    (gpu_kernels.h:109-139) with near-lossless logits. Not supported
-    under TP (the vocab-sharded lm_head stays bf16 there)."""
-    from llama_cu_awq_tpu.quant.int8 import quantize_dense_int8
+def quantize_lm_head(params: LlamaParams, bits: int = 8,
+                     tpu_layout: bool | None = None) -> LlamaParams:
+    """Opt-in: quantize the lm_head — the one unquantized weight on the
+    per-token critical path of the reference design (262 MB at 7B,
+    gpu_kernels.h:109-139).
 
-    return LlamaParams(embed=params.embed,
-                       lm_head=quantize_dense_int8(params.lm_head),
+    bits=8: per-row symmetric int8 (quant/int8.py), near-lossless.
+    bits=4: w4-g128 like every other weight (grouped along the input
+    dim), served by the same fused int4 Pallas kernel — 1/4 the read at
+    a real (AWQ-class) quantization error; use when throughput beats
+    the last fraction of a point of perplexity.
+    Not supported under TP (the vocab-sharded lm_head stays bf16)."""
+    if bits == 8:
+        from llama_cu_awq_tpu.quant.int8 import quantize_dense_int8
+
+        head = quantize_dense_int8(params.lm_head)
+    elif bits == 4:
+        from llama_cu_awq_tpu.ops.linear import _on_tpu
+        from llama_cu_awq_tpu.quant.qtensor import QTensor, to_tpu_layout
+
+        w = np.asarray(params.lm_head, np.float32).T  # (dim, vocab)
+        head = QTensor.quantize(w)
+        if tpu_layout if tpu_layout is not None else _on_tpu():
+            head = to_tpu_layout(head)
+    else:
+        raise ValueError(f"unsupported lm_head bits: {bits}")
+    return LlamaParams(embed=params.embed, lm_head=head,
                        final_norm=params.final_norm, layers=params.layers)
 
 
@@ -466,10 +484,14 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     if not logits_all:
         x = x[:, -1, :]
     # classifier GEMV (llama2_q4.cu:339); operands in lm_head's storage
-    # dtype (fp16/bf16) with f32 accumulation, matching mat_vec_kernel.
-    # Under TP the lm_head is vocab-sharded; gather the logits shards.
-    logits = dense_matmul(x.astype(params.lm_head.dtype), params.lm_head,
-                          matmul_impl)
+    # dtype (fp16/bf16, or int8/w4 when quantize_lm_head opted in) with
+    # f32 accumulation, matching mat_vec_kernel. Under TP the lm_head is
+    # vocab-sharded; gather the logits shards.
+    if isinstance(params.lm_head, (QTensor, QTensorTPU)):
+        logits = qmatmul(x.astype(act_dtype), params.lm_head, matmul_impl)
+    else:
+        logits = dense_matmul(x.astype(params.lm_head.dtype),
+                              params.lm_head, matmul_impl)
     if tp_axis:
         logits = lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                 tiled=True)

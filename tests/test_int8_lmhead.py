@@ -70,3 +70,41 @@ def test_engine_runs_with_int8_lmhead(tiny_config):
                           max_seq=64, chunk_size=4)
     toks, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 10)
     assert len(toks) >= 7
+
+
+def test_int4_lmhead_logits_close(tiny_config, rng):
+    """bits=4: w4-g128 lm_head served by the int4 matmul path."""
+    from llama_cu_awq_tpu.models import forward
+    from llama_cu_awq_tpu.quant.qtensor import QTensor
+
+    cfg = tiny_config
+    params = synthetic_params(cfg, seed=5, tpu_layout=False,
+                              param_dtype=jnp.float32)
+    q4 = quantize_lm_head(params, bits=4, tpu_layout=False)
+    assert isinstance(q4.lm_head, QTensor)
+    tokens = jnp.asarray([[BOS_TOKEN, 5, 9]])
+    pos = jnp.zeros(1, jnp.int32)
+    cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    lo, _ = forward(params, cfg, tokens, pos, cache, attn_len=32,
+                    act_dtype=jnp.float32, matmul_impl="dequant")
+    cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    lo_q, _ = forward(q4, cfg, tokens, pos, cache, attn_len=32,
+                      act_dtype=jnp.float32, matmul_impl="dequant")
+    a, b = np.asarray(lo), np.asarray(lo_q)
+    # w4-g128: coarser than int8 but logits must still track closely
+    assert np.abs(a - b).max() < 0.06 * np.abs(a).max() + 0.06
+
+
+def test_engine_runs_with_int4_lmhead(tiny_config):
+    from llama_cu_awq_tpu.engine import InferenceEngine
+
+    cfg = tiny_config
+    params = quantize_lm_head(
+        synthetic_params(cfg, seed=5, tpu_layout=False,
+                         param_dtype=jnp.float32), bits=4,
+        tpu_layout=False)
+    eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
+                          matmul_impl="dequant", temperature=0.0,
+                          max_seq=64, chunk_size=4)
+    toks, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 10)
+    assert len(toks) >= 7

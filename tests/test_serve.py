@@ -82,29 +82,49 @@ def test_completion_blocking(server):
     assert isinstance(body["choices"][0]["text"], str)
 
 
-def test_completion_matches_engine(server, tiny_server_config):
+def test_completion_matches_engine(tiny_server_config):
     """Server tokens are greedy-consistent with a direct forward()
     replay of the same prompt (temperature 0), and the returned text is
-    the piecewise detokenization of those tokens."""
-    from test_batch_engine import assert_greedy_consistent
+    the piecewise detokenization of those tokens. Owns its server so a
+    compile-lottery hit (test_batch_engine.retry_compile_lottery) can
+    retry with a freshly compiled engine."""
+    from test_batch_engine import (
+        assert_greedy_consistent,
+        retry_compile_lottery,
+    )
 
-    base, be = server
     cfg, params, tokenizer = tiny_server_config
-    st, raw = _post(base, "/v1/completions",
-                    {"prompt": "hello world", "max_tokens": 5})
-    choice = json.loads(raw)["choices"][0]
-    toks = choice["token_ids"]
-    prompt_ids = tokenizer.encode("hello world", bos=True, eos=False)
-    # tol 0.5: the server's executable is fixed for the module, so the
-    # fresh-compile retry (test_batch_engine.retry_compile_lottery) is
-    # unavailable; real routing bugs produce gaps >> 1 regardless
-    assert_greedy_consistent(params, cfg, prompt_ids, toks, tol=0.5)
-    prev = prompt_ids[-1]
-    want = []
-    for t in toks:
-        want.append(tokenizer.safe_piece(tokenizer.decode(prev, t)))
-        prev = t
-    assert choice["text"] == "".join(want)
+
+    def scenario():
+        be = BatchEngine(params, cfg, tokenizer, n_slots=2, max_seq=96,
+                         act_dtype=jnp.float32, matmul_impl="dequant",
+                         temperature=0.0, chunk_size=4)
+        httpd, eng = make_server(be, tokenizer, host="127.0.0.1", port=0)
+        port = httpd.server_address[1]
+        eng.start()
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            st, raw = _post(f"http://127.0.0.1:{port}", "/v1/completions",
+                            {"prompt": "hello world", "max_tokens": 5})
+            choice = json.loads(raw)["choices"][0]
+            toks = choice["token_ids"]
+            prompt_ids = tokenizer.encode("hello world", bos=True,
+                                          eos=False)
+            assert_greedy_consistent(params, cfg, prompt_ids, toks)
+            prev = prompt_ids[-1]
+            want = []
+            for tk in toks:
+                want.append(tokenizer.safe_piece(tokenizer.decode(prev,
+                                                                  tk)))
+                prev = tk
+            assert choice["text"] == "".join(want)
+        finally:
+            httpd.shutdown()
+            eng.stop()
+            httpd.server_close()
+
+    retry_compile_lottery(scenario)
 
 
 def test_streaming_sse(server):

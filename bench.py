@@ -37,7 +37,10 @@ def main():
                          "chunk (host syncs once per chunk); default "
                          "128 for batch-1 decode, 16 for --mode batch "
                          "(slot-reuse granularity)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=6,
+                    help="timed runs (best-of; each ~1.5 s at 7B — the "
+                         "chip ramps over the first runs, so more "
+                         "repeats cost little and de-noise the best)")
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--profile", default=None, metavar="DIR",

@@ -33,7 +33,6 @@ import dataclasses
 import functools
 import time
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

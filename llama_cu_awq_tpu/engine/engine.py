@@ -31,13 +31,12 @@ import numpy as np
 
 from llama_cu_awq_tpu.config import ModelConfig
 from llama_cu_awq_tpu.models.llama import (
-    KVCache,
     LlamaParams,
     forward,
     init_kv_cache,
 )
 from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
-from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN, Tokenizer
+from llama_cu_awq_tpu.tokenizer import EOS_TOKEN, Tokenizer
 
 PREFILL_BLOCK = 128
 

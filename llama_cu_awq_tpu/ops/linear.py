@@ -21,11 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from llama_cu_awq_tpu.quant.qtensor import (
-    QTensor,
-    QTensorTPU,
-    dequant_expand,
-)
+from llama_cu_awq_tpu.quant.qtensor import QTensorTPU, dequant_expand
 
 _DEFAULT_IMPL = "auto"
 

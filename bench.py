@@ -168,7 +168,7 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
 
     eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
-                      kv_quant=args.kv_quant,
+                      kv_quant=args.kv_quant, attn_impl=args.attn_impl,
                       temperature=0.0, chunk_size=args.chunk_size,
                       mesh=mesh)
 
@@ -186,6 +186,13 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
     one_run()
     best = 0.0
     for i in range(args.repeats):
+        if i == 0 and args.profile:
+            from llama_cu_awq_tpu.utils import profile_trace
+
+            with profile_trace(args.profile):
+                total, dt, tok_s = one_run()
+            log(f"profiler trace written to {args.profile}")
+            continue
         total, dt, tok_s = one_run()
         log(f"run {i}: {args.requests} requests, {total} tokens in "
             f"{dt:.2f}s -> {tok_s:.1f} tok/s aggregate")

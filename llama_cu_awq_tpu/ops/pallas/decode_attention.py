@@ -46,7 +46,7 @@ def _make_kernel(n_blocks: int, a_blk: int, kv_mul: int, scale: float):
             m_ref[:] = jnp.full_like(m_ref, _NEG)
             l_ref[:] = jnp.zeros_like(l_ref)
 
-        pos = pos_ref[0]
+        pos = pos_ref[pl.program_id(0)]
         n_kv = k_ref.shape[2]
         d = k_ref.shape[3]
         # merge (Hkv, D) into lanes: per-head access becomes a cheap
@@ -123,7 +123,9 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, a: (b,),
+            # whole (B,) vector in SMEM (rank-1 blocks must cover the
+            # array); the kernel indexes it by the batch grid coordinate
+            pl.BlockSpec((B,), lambda b, a: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H, D), lambda b, a: (b, 0, 0),
                          memory_space=pltpu.VMEM),

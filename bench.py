@@ -47,8 +47,11 @@ def main():
                     help="capture a jax.profiler trace of run 0 into DIR")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
-    ap.add_argument("--attn-impl", default=None, choices=["flash"],
-                    help="blockwise Pallas decode-attention kernel")
+    ap.add_argument("--attn-impl", default=None,
+                    choices=["flash", "batched"],
+                    help="Pallas decode-attention kernel (flash: long-"
+                         "context blockwise; batched: serving shapes, "
+                         "int8-KV-native)")
     ap.add_argument("--lm-head-8bit", dest="lm_head_bits",
                     action="store_const", const=8,
                     help="per-row int8 lm_head")

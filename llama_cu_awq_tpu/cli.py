@@ -49,8 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8-quantize the KV cache (halves its memory "
                          "and bandwidth; near-lossless)")
-    ap.add_argument("--attn-impl", default=None, choices=["flash"],
-                    help="use the blockwise Pallas decode-attention kernel")
+    ap.add_argument("--attn-impl", default=None,
+                    choices=["flash", "batched"],
+                    help="Pallas decode-attention kernel: flash (long-"
+                         "context blockwise) or batched (serving "
+                         "shapes, int8-KV-native)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--platform", default=None,

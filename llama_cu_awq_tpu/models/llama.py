@@ -415,6 +415,12 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         vh = vh.reshape(B, T, KV, D)
         qh = apply_rope(qh, positions, cfg.rope_theta)
         kh = apply_rope(kh, positions, cfg.rope_theta)
+        # attn_impl "batched": the serving-shape Pallas kernel
+        # (ops/pallas/batched_attention.py) — int8-NATIVE for the
+        # quantized cache (codes + scales go straight to the kernel;
+        # no dequantized window is materialized)
+        batched = (T == 1 and attn_impl == "batched"
+                   and cfg.head_dim % 128 == 0 and A % 128 == 0)
         if cache.quantized:
             kq, ks = quantize_kv(kh)
             vq, vs = quantize_kv(vh)
@@ -424,20 +430,34 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             vs_l = _update_cache(cache.v_scale[l], vs, pos)
             new_ks.append(ks_l)
             new_vs.append(vs_l)
-            # dequantize the attention window on the fly; XLA fuses the
-            # int8 load + scale multiply into the attention dot's operand
-            k_att = (k_cache_l[:, :A].astype(act_dtype)
-                     * ks_l[:, :A, :, None].astype(act_dtype))
-            v_att = (v_cache_l[:, :A].astype(act_dtype)
-                     * vs_l[:, :A, :, None].astype(act_dtype))
+            if batched:
+                k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
+                scales = (ks_l[:, :A], vs_l[:, :A])
+            else:
+                # dequantize the window on the fly; XLA fuses the int8
+                # load + scale multiply into the attention dot's operand
+                k_att = (k_cache_l[:, :A].astype(act_dtype)
+                         * ks_l[:, :A, :, None].astype(act_dtype))
+                v_att = (v_cache_l[:, :A].astype(act_dtype)
+                         * vs_l[:, :A, :, None].astype(act_dtype))
         else:
             k_cache_l = _update_cache(cache.k[l], kh, pos)
             v_cache_l = _update_cache(cache.v[l], vh, pos)
             k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
+            scales = (None, None)
         new_k.append(k_cache_l)
         new_v.append(v_cache_l)
-        attn = _attention(qh, k_att, v_att, pos,
-                          act_dtype, attn_impl).astype(act_dtype)
+        if batched:
+            from llama_cu_awq_tpu.ops.linear import _on_tpu
+            from llama_cu_awq_tpu.ops.pallas import batched_attention as ba
+
+            attn = ba.batched_decode_attention(
+                qh[:, 0], k_att, v_att, pos, scales[0], scales[1],
+                interpret=not _on_tpu()).reshape(B, 1, H * D).astype(
+                    act_dtype)
+        else:
+            attn = _attention(qh, k_att, v_att, pos,
+                              act_dtype, attn_impl).astype(act_dtype)
         if fused:
             # o-proj + residual + next rms scale in one kernel, then
             # gate/up with the rms apply fused, then SwiGLU + down-proj

@@ -144,7 +144,7 @@ class BatchEngine:
                 return [lax.dynamic_slice_in_dim(a, slot, 1, 0)
                         for a in arrs]
 
-            sub = KVCache(*[take(field) for field in cache])
+            sub = KVCache(*[take(field) or () for field in cache])
             _, sub = self._fwd(params, tokens, pos[None], sub,
                                attn_len=attn_len, act_dtype=self.act_dtype,
                                matmul_impl=self.matmul_impl, no_logits=True)
@@ -153,7 +153,7 @@ class BatchEngine:
                 return [lax.dynamic_update_slice_in_dim(c, s, slot, 0)
                         for c, s in zip(full, subs)]
 
-            return KVCache(*[put(f, s) for f, s in zip(cache, sub)])
+            return KVCache(*[put(f, s) or () for f, s in zip(cache, sub)])
 
         return prefill
 
@@ -244,6 +244,29 @@ class BatchEngine:
         assert ok, "scheduler rejected a size-checked request"
         return rid
 
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request (client disconnect / abort): frees its slot
+        for re-admission — in-flight chunks for the freed slot are
+        discarded by _process_chunk's ownership check — or removes it
+        from the scheduler queue. Returns True if the request was still
+        live. A serving capability the reference cannot have (its one
+        request IS the process, llama2_q4.cu:436-492)."""
+        req = self._requests.get(rid)
+        if req is None or req.done:
+            return False
+        req.done = True
+        req.finish_t = time.time()
+        where = self.scheduler.cancel(rid)
+        if where >= 0:  # occupied slot `where`
+            self._slot_req[where] = None
+            self._pending[where] = []
+        return where != -1
+
+    def drop_request(self, rid: int):
+        """Forget a finished request's record/output buffer (long-running
+        servers would otherwise accumulate every request ever served)."""
+        self._requests.pop(rid, None)
+
     # prompts up to this length feed through forced decode steps (free —
     # they share the batch's weight reads); longer ones get a dedicated
     # compute-bound block prefill on their slot first
@@ -299,15 +322,26 @@ class BatchEngine:
         the host processes chunk N's tokens while chunk N+1 computes.
         """
         self._admit()
+        # A slot already AT the cache boundary cannot take another step —
+        # its scatter would write row max_seq of a max_seq-row cache
+        # (out of bounds under mode="promise_in_bounds"). It only occurs
+        # under lookahead: the in-flight chunk filled the slot, and
+        # processing that chunk is guaranteed to retire it (the scheduler
+        # finishes at pos >= max_seq). Treat it like a free slot here:
+        # park its writes at row 0 (re-prefilled on admission) and never
+        # record it as an owner, so its sampled junk is discarded.
         active = [s for s in range(self.n_slots)
-                  if self._slot_req[s] is not None]
+                  if self._slot_req[s] is not None
+                  and int(self.pos[s]) < self.max_seq]
         if not active:
             return None
+        for s in range(self.n_slots):
+            if s not in active:
+                self.pos[s] = 0  # park free/capped slots BEFORE dispatch
         k = self.chunk_size
-        # a slot at the cache boundary caps the chunk length
+        # a slot near the cache boundary caps the chunk length
         for s in active:
             k = min(k, self.max_seq - int(self.pos[s]))
-        k = max(k, 1)
 
         forced = np.zeros((k, self.n_slots), np.int32)
         mask = np.zeros((k, self.n_slots), bool)
@@ -339,10 +373,6 @@ class BatchEngine:
         owners = {s: self._slot_req[s] for s in active}
         self.pos += k
         self.last_token = toks[-1]  # device slice; no host sync
-        for s in range(self.n_slots):
-            if self._slot_req[s] is None:
-                self.pos[s] = 0  # park free slots (their writes land at
-                #                  row 0, which admission overwrites)
         return {"toks": toks, "k": k, "owners": owners,
                 "emit_from": emit_from}
 

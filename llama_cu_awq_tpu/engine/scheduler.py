@@ -78,6 +78,21 @@ class PyScheduler:
             self.finished += 1
         return done
 
+    def cancel(self, request_id: int) -> int:
+        """Cancel wherever the request lives. Returns the slot it
+        occupied, -2 if it was still queued, -1 if unknown/finished."""
+        for s, req in enumerate(self._slots):
+            if req is not None and req.id == request_id:
+                self._slots[s] = None
+                self.finished += 1
+                return s
+        for i, req in enumerate(self._queue):
+            if req.id == request_id:
+                del self._queue[i]
+                self.finished += 1
+                return -2
+        return -1
+
     def slot_request(self, slot: int) -> int:
         req = self._slots[slot]
         return -1 if req is None else req.id
@@ -92,7 +107,9 @@ class PyScheduler:
 
 
 def _find_or_build_lib() -> str | None:
-    if os.path.exists(_PREBUILT):
+    if os.path.exists(_PREBUILT) and (
+            not os.path.exists(_SRC)
+            or os.path.getmtime(_PREBUILT) >= os.path.getmtime(_SRC)):
         return _PREBUILT
     gxx = shutil.which("g++")
     if gxx is None or not os.path.exists(_SRC):
@@ -129,6 +146,8 @@ class NativeScheduler:
         lib.bs_on_token.restype = ctypes.c_int
         lib.bs_on_token.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
+        lib.bs_cancel.restype = ctypes.c_int
+        lib.bs_cancel.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         for name in ("bs_num_active", "bs_num_queued"):
             getattr(lib, name).restype = ctypes.c_int
             getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -162,6 +181,9 @@ class NativeScheduler:
         r = self._lib.bs_on_token(self._h, slot, int(is_eos))
         assert r >= 0, f"slot {slot} is free"
         return r == 1
+
+    def cancel(self, request_id: int) -> int:
+        return self._lib.bs_cancel(self._h, request_id)
 
     def slot_request(self, slot: int) -> int:
         return int(self._lib.bs_slot_request(self._h, slot))

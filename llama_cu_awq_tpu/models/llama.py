@@ -108,8 +108,10 @@ class KVCache(NamedTuple):
 
     k: list
     v: list
-    k_scale: list = []
-    v_scale: list = []
+    # default must be immutable: a mutable NamedTuple default is one
+    # shared instance across every KVCache ever constructed
+    k_scale: tuple | list = ()
+    v_scale: tuple | list = ()
 
     @property
     def quantized(self) -> bool:
@@ -421,6 +423,14 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # no dequantized window is materialized)
         batched = (T == 1 and attn_impl == "batched"
                    and cfg.head_dim % 128 == 0 and A % 128 == 0)
+        if attn_impl == "batched" and T == 1 and not batched and l == 0:
+            import warnings
+
+            warnings.warn(
+                f"attn_impl='batched' needs head_dim % 128 == 0 and "
+                f"attn_len % 128 == 0 (got head_dim={cfg.head_dim}, "
+                f"attn_len={A}); falling back to the einsum path",
+                stacklevel=2)
         if cache.quantized:
             kq, ks = quantize_kv(kh)
             vq, vs = quantize_kv(vh)
@@ -495,7 +505,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # teacher-forced prompt step: only the cache matters (the
         # reference burns a full lm_head GEMV per prompt token;
         # llama2_q4.cu:336-339 — skipping it is free accuracy-wise)
-        return None, KVCache(new_k, new_v, new_ks, new_vs)
+        return None, KVCache(new_k, new_v, new_ks or (), new_vs or ())
     if fused:
         x = (x.astype(jnp.float32) * ss
              * params.final_norm.astype(jnp.float32)).astype(act_dtype)
@@ -515,4 +525,4 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     if tp_axis:
         logits = lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                 tiled=True)
-    return logits, KVCache(new_k, new_v, new_ks, new_vs)
+    return logits, KVCache(new_k, new_v, new_ks or (), new_vs or ())

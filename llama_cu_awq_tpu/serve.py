@@ -39,12 +39,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
 
 
-class ServingEngine:
-    """Thread-safe continuous-batching driver with streaming outputs."""
+class ServerOverloaded(Exception):
+    """Admission queue is full; client should retry later (HTTP 429)."""
 
-    def __init__(self, batch_engine, tokenizer):
+
+class ServingEngine:
+    """Thread-safe continuous-batching driver with streaming outputs.
+
+    max_queue bounds ADMISSION (waiting requests beyond the slot pool):
+    submit() raises ServerOverloaded instead of queueing unboundedly —
+    an overloaded server sheds load with 429s rather than stretching
+    every client's latency to infinity."""
+
+    def __init__(self, batch_engine, tokenizer, max_queue: int = 256):
         self.be = batch_engine
         self.tokenizer = tokenizer
+        self.max_queue = max_queue
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._queues: dict[int, queue.Queue] = {}
@@ -53,6 +63,8 @@ class ServingEngine:
         self.started_t = time.time()
         self.total_requests = 0
         self.total_tokens = 0
+        self.rejected_requests = 0
+        self.cancelled_requests = 0
 
     # -- lifecycle ------------------------------------------------------
 
@@ -78,12 +90,25 @@ class ServingEngine:
         yields lists of token ids and a final None sentinel."""
         q: queue.Queue = queue.Queue()
         with self._work:
+            if self.be.scheduler.num_queued >= self.max_queue:
+                self.rejected_requests += 1
+                raise ServerOverloaded(
+                    f"admission queue full ({self.max_queue} waiting)")
             rid = self.be.submit(prompt, max_new=max_new,
                                  temperature=temperature, topp=topp)
             self._queues[rid] = q
             self.total_requests += 1
             self._work.notify()
         return rid, q
+
+    def cancel(self, rid: int):
+        """Abort a request whose client went away: frees its slot/queue
+        entry so the engine stops burning decode steps on it."""
+        with self._lock:
+            if self.be.cancel(rid):
+                self.cancelled_requests += 1
+            self.be.drop_request(rid)
+            self._queues.pop(rid, None)
 
     # -- engine thread ---------------------------------------------------
 
@@ -100,10 +125,18 @@ class ServingEngine:
                     self._work.wait(timeout=0.5)
                     continue
             if in_flight is not None:
-                self._route(self.be._process_chunk(in_flight))
+                self._route(self._process(in_flight))
             in_flight = nxt
         if in_flight is not None:
-            self._route(self.be._process_chunk(in_flight))
+            self._route(self._process(in_flight))
+
+    def _process(self, chunk):
+        # the scheduler mutates under _process_chunk (on_token) while
+        # handler threads call add/cancel — serialize under the engine
+        # lock (the native scheduler also locks internally; this guards
+        # the Python-level slot/request bookkeeping around it)
+        with self._lock:
+            return self.be._process_chunk(chunk)
 
     def _route(self, results):
         for rid, new_tokens, finished in results:
@@ -117,6 +150,9 @@ class ServingEngine:
                 q.put(None)
                 with self._lock:
                     self._queues.pop(rid, None)
+                    # forget the finished request's record: a long-running
+                    # server must not accumulate every _Req ever served
+                    self.be.drop_request(rid)
 
     # -- helpers ---------------------------------------------------------
 
@@ -131,6 +167,9 @@ class ServingEngine:
             "generated_tokens": self.total_tokens,
             "active_slots": active,
             "queued_requests": queued,
+            "rejected_requests": self.rejected_requests,
+            "cancelled_requests": self.cancelled_requests,
+            "max_queue": self.max_queue,
             "slots": self.be.n_slots,
             "max_seq": self.be.max_seq,
         }
@@ -141,6 +180,8 @@ class _Handler(BaseHTTPRequestHandler):
     engine: ServingEngine = None
     model_name: str = "llama"
     protocol_version = "HTTP/1.1"
+    max_streams: int = 64           # concurrent SSE connections cap
+    _streams = threading.Semaphore(64)
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         from llama_cu_awq_tpu.utils.logging import get_logger
@@ -189,11 +230,27 @@ class _Handler(BaseHTTPRequestHandler):
 
         eng = self.engine
         tok = eng.tokenizer
+        stream_slot = False
+        if stream:
+            # bound concurrent SSE connections: each holds a handler
+            # thread + a token queue for its whole generation
+            stream_slot = self._streams.acquire(blocking=False)
+            if not stream_slot:
+                self._json(503, {"error": "too many concurrent streams",
+                                 "max_streams": self.max_streams})
+                return
         try:
             rid, q = eng.submit(prompt, max_new=max_tokens,
                                 temperature=temperature, topp=topp)
         except ValueError as e:  # prompt too long for the KV cache
+            if stream_slot:
+                self._streams.release()
             self._json(400, {"error": str(e)})
+            return
+        except ServerOverloaded as e:
+            if stream_slot:
+                self._streams.release()
+            self._json(429, {"error": str(e)})
             return
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
@@ -255,8 +312,19 @@ class _Handler(BaseHTTPRequestHandler):
                 self._sse(json.dumps({
                     "id": cid, "object": obj,
                     "choices": [choice(pieces(item), None)]}))
+            # terminate the chunked body (final zero-length chunk) —
+            # without it, keep-alive clients block forever on the open
+            # stream — and close: SSE is one response per connection
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
-            pass  # client went away; the engine finishes the slot anyway
+            # client went away mid-stream: free the slot instead of
+            # burning decode steps on tokens nobody will read
+            eng.cancel(rid)
+        finally:
+            self.close_connection = True
+            if stream_slot:
+                self._streams.release()
 
     # -- wire helpers ----------------------------------------------------
 
@@ -328,12 +396,15 @@ def _completion_body(cid, model, text, n_tokens):
 
 
 def make_server(batch_engine, tokenizer, host="0.0.0.0", port=8000,
-                model_name="llama") -> tuple[ThreadingHTTPServer,
-                                             ServingEngine]:
+                model_name="llama", max_queue: int = 256,
+                max_streams: int = 64) -> tuple[ThreadingHTTPServer,
+                                                ServingEngine]:
     """Build (http_server, serving_engine); caller starts/stops both."""
-    eng = ServingEngine(batch_engine, tokenizer)
+    eng = ServingEngine(batch_engine, tokenizer, max_queue=max_queue)
     handler = type("BoundHandler", (_Handler,),
-                   {"engine": eng, "model_name": model_name})
+                   {"engine": eng, "model_name": model_name,
+                    "max_streams": max_streams,
+                    "_streams": threading.Semaphore(max_streams)})
     httpd = ThreadingHTTPServer((host, port), handler)
     return httpd, eng
 
@@ -350,6 +421,10 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="waiting-request bound; overflow gets HTTP 429")
+    ap.add_argument("--max-streams", type=int, default=64,
+                    help="concurrent SSE connection cap; overflow 503")
     ap.add_argument("--max-seq", type=int, default=None)
     ap.add_argument("-t", dest="temperature", type=float, default=0.5)
     ap.add_argument("-p", dest="topp", type=float, default=0.6)
@@ -394,7 +469,9 @@ def main(argv=None) -> int:
                      topp=args.topp, seed=args.seed, kv_quant=args.kv_quant,
                      matmul_impl=args.matmul_impl,
                      chunk_size=args.chunk_size, mesh=mesh)
-    httpd, eng = make_server(be, tokenizer, args.host, args.port)
+    httpd, eng = make_server(be, tokenizer, args.host, args.port,
+                             max_queue=args.max_queue,
+                             max_streams=args.max_streams)
     eng.start()
     log.info("serving on %s:%d (%d slots, max_seq %d)", args.host,
              args.port, args.slots, be.max_seq)

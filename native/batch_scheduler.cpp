@@ -17,9 +17,16 @@
 //
 // All calls are O(1)/O(batch) and allocation-free after construction so
 // the scheduler never stalls the per-step host loop.
+//
+// Thread safety: every entry point locks one internal mutex. ctypes
+// releases the GIL around native calls, so the serving front-end's
+// handler threads (bs_add) genuinely race the engine thread
+// (bs_on_token/bs_admit) on one Scheduler object.
 
+#include <algorithm>
 #include <cstdint>
 #include <deque>
+#include <mutex>
 #include <vector>
 
 namespace {
@@ -41,6 +48,7 @@ struct Scheduler {
   std::vector<Slot> slots;
   std::deque<Request> queue;
   int64_t finished = 0;
+  std::mutex mu;
 
   explicit Scheduler(int n_slots, int max_seq_) : max_seq(max_seq_) {
     slots.resize(n_slots);
@@ -85,6 +93,28 @@ struct Scheduler {
     for (const auto& s : slots) n += s.busy;
     return n;
   }
+
+  // Cancel a request wherever it lives: frees its slot (the engine
+  // discards any in-flight tokens for a freed slot) or removes it from
+  // the FCFS queue. Returns the slot it occupied, -2 if it was queued,
+  // or -1 if unknown (already finished).
+  int cancel(int64_t request_id) {
+    for (int s = 0; s < (int)slots.size(); s++) {
+      if (slots[s].busy && slots[s].req.id == request_id) {
+        slots[s].busy = false;
+        finished++;
+        return s;
+      }
+    }
+    auto it = std::find_if(queue.begin(), queue.end(),
+                           [&](const Request& r) { return r.id == request_id; });
+    if (it != queue.end()) {
+      queue.erase(it);
+      finished++;
+      return -2;
+    }
+    return -1;
+  }
 };
 
 }  // namespace
@@ -101,6 +131,7 @@ void bs_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 // 0 = queued, -1 = rejected (cannot ever fit)
 int bs_add(void* h, int64_t request_id, int prompt_len, int max_new) {
   auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
   Request r{request_id, prompt_len, max_new};
   if (!s->fits(r)) return -1;
   s->queue.push_back(r);
@@ -108,30 +139,47 @@ int bs_add(void* h, int64_t request_id, int prompt_len, int max_new) {
 }
 
 int bs_admit(void* h, int32_t* out_slots, int64_t* out_ids, int cap) {
-  return static_cast<Scheduler*>(h)->admit(out_slots, out_ids, cap);
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  return s->admit(out_slots, out_ids, cap);
 }
 
 int bs_on_token(void* h, int slot, int is_eos) {
   auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
   if (slot < 0 || slot >= (int)s->slots.size()) return -1;
   return s->on_token(slot, is_eos != 0);
 }
 
+// slot index the request occupied, -2 if it was still queued, -1 unknown
+int bs_cancel(void* h, int64_t request_id) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  return s->cancel(request_id);
+}
+
 int bs_num_active(void* h) {
-  return static_cast<Scheduler*>(h)->num_active();
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  return s->num_active();
 }
 
 int bs_num_queued(void* h) {
-  return (int)static_cast<Scheduler*>(h)->queue.size();
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  return (int)s->queue.size();
 }
 
 int64_t bs_num_finished(void* h) {
-  return static_cast<Scheduler*>(h)->finished;
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  return s->finished;
 }
 
 // request id occupying a slot, or -1 when free
 int64_t bs_slot_request(void* h, int slot) {
   auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
   if (slot < 0 || slot >= (int)s->slots.size() || !s->slots[slot].busy)
     return -1;
   return s->slots[slot].req.id;

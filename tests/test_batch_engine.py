@@ -173,6 +173,27 @@ def test_capacity_cutoff(tiny_model):
     assert be.scheduler.num_active == 0
 
 
+def test_cancel_frees_slot_for_next_request(tiny_model):
+    """Cancelling an active request mid-generation frees its slot; a
+    queued request then runs to completion and the cancelled one's
+    output stays truncated."""
+    params, cfg = tiny_model
+    be = BatchEngine(params, cfg, n_slots=1, max_seq=32,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     temperature=0.0, chunk_size=2,
+                     prefer_native_scheduler=False)
+    rid1 = be.submit([BOS_TOKEN, 7], max_new=20)
+    rid2 = be.submit([BOS_TOKEN, 9], max_new=3)
+    be.step()  # rid1 occupies the single slot
+    n_before = len(be._requests[rid1].out)
+    assert be.cancel(rid1)
+    assert not be.cancel(rid1)  # idempotent: already done
+    out = be.run()
+    assert len(out[rid2]) >= 1           # rid2 got the slot and finished
+    assert len(out[rid1]) == n_before    # no tokens after the cancel
+    assert be.scheduler.num_active == 0
+
+
 def test_oversized_prompt_rejected(tiny_model):
     params, cfg = tiny_model
     be = BatchEngine(params, cfg, n_slots=1, max_seq=8,

@@ -102,3 +102,48 @@ def test_native_matches_python_on_random_trace(rng):
 def test_make_scheduler_fallback():
     s = make_scheduler(2, 16, prefer_native=False)
     assert isinstance(s, PyScheduler)
+
+
+def test_cancel_semantics(sched_factory):
+    s = sched_factory(1, 64)
+    assert s.add(1, prompt_len=4, max_new=8)
+    assert s.add(2, prompt_len=4, max_new=8)
+    assert s.admit() == [(0, 1)]
+    # cancel the active request -> its slot frees, next admit takes it
+    assert s.cancel(1) == 0
+    assert s.num_active == 0 and s.finished == 1
+    assert s.admit() == [(0, 2)]
+    # cancel a queued request
+    assert s.add(3, prompt_len=4, max_new=8)
+    assert s.cancel(3) == -2
+    assert s.num_queued == 0 and s.finished == 2
+    # cancel unknown / already-finished
+    assert s.cancel(99) == -1
+    assert s.cancel(3) == -1
+
+
+def test_cancel_parity_random_trace(rng):
+    lib = _find_or_build_lib()
+    if lib is None:
+        pytest.skip("no C++ toolchain for the native scheduler")
+    py = PyScheduler(3, 24)
+    nat = NativeScheduler(3, 24, lib)
+    next_id = 0
+    for _ in range(300):
+        op = rng.random()
+        if op < 0.35:
+            plen = int(rng.integers(1, 12))
+            assert py.add(next_id, plen, 4) == nat.add(next_id, plen, 4)
+            next_id += 1
+        elif op < 0.55:
+            assert py.admit() == nat.admit()
+        elif op < 0.75 and next_id:
+            rid = int(rng.integers(0, next_id))
+            assert py.cancel(rid) == nat.cancel(rid)
+        else:
+            slot = int(rng.integers(0, 3))
+            if py.slot_request(slot) != -1:
+                eos = bool(rng.random() < 0.2)
+                assert py.on_token(slot, eos) == nat.on_token(slot, eos)
+        assert (py.num_active, py.num_queued, py.finished) == \
+               (nat.num_active, nat.num_queued, nat.finished)

@@ -208,6 +208,151 @@ def test_chat_template_rendering():
                      {"role": "assistant", "content": "b"}])
 
 
+def _own_server(tiny_server_config, *, start=True, **kw):
+    """A throwaway server whose engine thread may stay unstarted (for
+    deterministic queue/stream-cap tests: nothing is admitted until
+    eng.start())."""
+    cfg, params, tokenizer = tiny_server_config
+    be = BatchEngine(params, cfg, tokenizer, n_slots=kw.pop("slots", 1),
+                     max_seq=96, act_dtype=jnp.float32,
+                     matmul_impl="dequant", temperature=0.0, chunk_size=4)
+    httpd, eng = make_server(be, tokenizer, host="127.0.0.1", port=0, **kw)
+    port = httpd.server_address[1]
+    if start:
+        eng.start()
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{port}", httpd, eng, be
+
+
+def test_queue_overflow_429(tiny_server_config):
+    """Bounded admission: with the engine thread not yet draining and
+    max_queue=1, the second request is shed with HTTP 429."""
+    base, httpd, eng, be = _own_server(tiny_server_config, start=False,
+                                       max_queue=1)
+    try:
+        codes = {}
+        t = threading.Thread(target=lambda: codes.__setitem__(
+            "first", _post(base, "/v1/completions",
+                           {"prompt": "hello", "max_tokens": 2})[0]))
+        t.start()
+        # wait until request 1 is queued
+        for _ in range(200):
+            if eng.total_requests >= 1:
+                break
+            import time as _t
+            _t.sleep(0.01)
+        try:
+            _post(base, "/v1/completions", {"prompt": "hi", "max_tokens": 2})
+            assert False, "expected 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        eng.start()  # drain request 1
+        t.join(timeout=300)
+        assert codes["first"] == 200
+        assert eng.stats()["rejected_requests"] == 1
+    finally:
+        httpd.shutdown()
+        eng.stop()
+        httpd.server_close()
+
+
+def test_max_streams_503(tiny_server_config):
+    """Concurrent-stream cap: a second SSE connection gets HTTP 503
+    while the first still holds the only stream slot."""
+    base, httpd, eng, be = _own_server(tiny_server_config, start=False,
+                                       max_streams=1)
+    try:
+        def stream_req():
+            req = urllib.request.Request(
+                base + "/v1/completions",
+                data=json.dumps({"prompt": "hold", "max_tokens": 2,
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                r.read()
+
+        t = threading.Thread(target=stream_req)
+        t.start()
+        for _ in range(200):
+            if eng.total_requests >= 1:
+                break
+            import time as _t
+            _t.sleep(0.01)
+        try:
+            req = urllib.request.Request(
+                base + "/v1/completions",
+                data=json.dumps({"prompt": "x", "max_tokens": 1,
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        eng.start()
+        t.join(timeout=300)
+        assert not t.is_alive()
+    finally:
+        httpd.shutdown()
+        eng.stop()
+        httpd.server_close()
+
+
+def test_sse_terminates_keepalive_client(server):
+    """The chunked SSE body must END for a keep-alive HTTP/1.1 client
+    (no Connection: close — what curl/httpx send): the handler writes
+    the final zero-length chunk after [DONE]."""
+    import http.client
+
+    base, be = server
+    host = base[len("http://"):]
+    conn = http.client.HTTPConnection(host, timeout=300)
+    try:
+        conn.request("POST", "/v1/completions",
+                     body=json.dumps({"prompt": "end me", "max_tokens": 3,
+                                      "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()  # blocks forever if the chunked body never ends
+        assert b"[DONE]" in body
+    finally:
+        conn.close()
+
+
+def test_client_disconnect_frees_slot(tiny_server_config):
+    """A streaming client that drops mid-generation must not keep
+    burning its slot: the handler cancels the request, and a follow-up
+    request on the single slot completes."""
+    import socket as _socket
+
+    base, httpd, eng, be = _own_server(tiny_server_config, slots=1)
+    try:
+        host, port = base[len("http://"):].split(":")
+        body = json.dumps({"prompt": "long one", "max_tokens": 64,
+                           "stream": True}).encode()
+        s = _socket.create_connection((host, int(port)), timeout=60)
+        s.sendall(b"POST /v1/completions HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        s.recv(1024)  # first bytes of the stream arrived
+        s.close()     # client goes away mid-stream
+        # the engine must recover the slot: this request completes
+        st, raw = _post(base, "/v1/completions",
+                        {"prompt": "after the crash", "max_tokens": 3},
+                        timeout=300)
+        assert st == 200
+        for _ in range(500):
+            if eng.stats()["cancelled_requests"] >= 1:
+                break
+            import time as _t
+            _t.sleep(0.01)
+        assert eng.stats()["cancelled_requests"] >= 1
+        assert eng.stats()["active_slots"] == 0
+    finally:
+        httpd.shutdown()
+        eng.stop()
+        httpd.server_close()
+
+
 def test_bad_requests(server):
     base, be = server
     # malformed JSON

@@ -83,20 +83,57 @@ class Tokenizer:
         return tokens
 
     def _merge_py(self, tokens: list[int]) -> list[int]:
-        """Greedy best-scoring pair merge (reference: tokenizer.h:188-217)."""
-        tokens = list(tokens)
+        """Greedy best-scoring pair merge (reference: tokenizer.h:188-217).
+
+        The reference rescans the sequence per merge (O(n^2)); this uses
+        a linked list + lazy max-heap of candidate pairs (O(n log n)) —
+        the same algorithm as native/bpe_tokenizer.cpp. Tie-break parity:
+        a merged node keeps its LEFT constituent's slot index, so slot
+        order equals list order and (score desc, slot asc) reproduces
+        the reference's left-to-right strict-> argmax scan exactly."""
+        import heapq
+
+        n = len(tokens)
+        if n <= 1:
+            return list(tokens)
         vocab, scores, lookup = self.vocab, self.scores, self._lookup
-        while True:
-            best_score = -1e10
-            best_id = best_idx = -1
-            for k in range(len(tokens) - 1):
-                merged = vocab[tokens[k]] + vocab[tokens[k + 1]]
-                tid = lookup.get(merged, -1)
-                if tid != -1 and scores[tid] > best_score:
-                    best_score, best_id, best_idx = scores[tid], tid, k
-            if best_idx == -1:
-                return tokens
-            tokens[best_idx:best_idx + 2] = [best_id]
+        ids = list(tokens)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        stamp = [0] * n
+        heap: list = []
+
+        def push(a: int):
+            b = nxt[a]
+            if a < 0 or b < 0:
+                return
+            tid = lookup.get(vocab[ids[a]] + vocab[ids[b]], -1)
+            if tid != -1:
+                heapq.heappush(
+                    heap, (-scores[tid], a, b, stamp[a], stamp[b], tid))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, a, b, sa, sb, tid = heapq.heappop(heap)
+            if stamp[a] != sa or stamp[b] != sb or nxt[a] != b:
+                continue  # stale candidate
+            ids[a] = tid
+            stamp[a] += 1
+            stamp[b] += 1  # right node dies
+            after = nxt[b]
+            nxt[a] = after
+            if after >= 0:
+                prv[after] = a
+            if prv[a] >= 0:
+                push(prv[a])
+            push(a)
+        out = []
+        i = 0
+        while i >= 0:
+            out.append(ids[i])
+            i = nxt[i]
+        return out
 
     def decode(self, prev_token: int, token: int) -> bytes:
         """Token id -> piece bytes (reference: tokenizer.h:68-79)."""
@@ -139,10 +176,16 @@ class _NativeMerger:
         lib.bpe_create.restype = ctypes.c_void_p
         lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
                                    ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
         lib.bpe_merge.restype = ctypes.c_int
         lib.bpe_merge.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                                   ctypes.c_int]
         self._handle = lib.bpe_create(self._flat, lens, scores, n)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.bpe_destroy(self._handle)
+            self._handle = None
 
     def merge(self, tokens: list[int]) -> list[int]:
         ct = self._ctypes
@@ -152,10 +195,39 @@ class _NativeMerger:
 
 
 def _load_native():
-    lib_path = os.path.join(os.path.dirname(__file__), "..", "native",
-                            "build", "libbpe_tokenizer.so")
-    lib_path = os.path.abspath(lib_path)
-    if not os.path.exists(lib_path):
+    """Locate (or g++-compile on demand, mirroring engine/scheduler.py)
+    the shared library built from native/bpe_tokenizer.cpp."""
+    native_dir = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                              "..", "native"))
+    src = os.path.join(native_dir, "bpe_tokenizer.cpp")
+    prebuilt = os.path.join(native_dir, "build", "libbpe_tokenizer.so")
+    lib_path = None
+    if os.path.exists(prebuilt) and (
+            not os.path.exists(src)
+            or os.path.getmtime(prebuilt) >= os.path.getmtime(src)):
+        lib_path = prebuilt
+    elif os.path.exists(src):
+        import shutil
+        import subprocess
+        import tempfile
+
+        gxx = shutil.which("g++")
+        if gxx is None:
+            return None
+        cache = os.path.join(tempfile.gettempdir(),
+                             f"llama_tpu_native_{os.getuid()}")
+        os.makedirs(cache, exist_ok=True)
+        lib_path = os.path.join(cache, "libbpe_tokenizer.so")
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            tmp = lib_path + ".tmp"
+            try:
+                subprocess.run([gxx, "-O2", "-std=c++17", "-shared",
+                                "-fPIC", "-o", tmp, src], check=True)
+            except subprocess.CalledProcessError:
+                return None
+            os.replace(tmp, lib_path)
+    if lib_path is None:
         return None
     try:
         import ctypes

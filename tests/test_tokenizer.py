@@ -128,3 +128,72 @@ def test_llama_decode_bos_space_strip():
     ids = t.encode("Hi", bos=True, eos=False)
     first = t.decode(BOS_TOKEN, ids[1])
     assert not first.startswith(b" ")  # PR #89 semantics (tokenizer.h:71)
+
+
+# ---------------------------------------------------------------------------
+# native merge loop (native/bpe_tokenizer.cpp) vs the Python implementation
+
+
+@needs_ref_tokenizer
+def test_native_merger_loads():
+    """The ctypes fast path must actually load a real library here (the
+    repo ships the source and the image ships g++)."""
+    tok = Tokenizer(REFERENCE_TOKENIZER, 32000)
+    assert tok._native is not None
+
+
+@needs_ref_tokenizer
+def test_native_matches_python_merge():
+    """Native and Python merges agree token-for-token on text exercising
+    merges, byte fallback, multi-byte UTF-8, and repetition."""
+    import os as _os
+
+    tok = Tokenizer(REFERENCE_TOKENIZER, 32000)
+    if tok._native is None:
+        pytest.skip("no native tokenizer library")
+    py = Tokenizer(REFERENCE_TOKENIZER, 32000)
+    py._native = None
+    samples = [
+        "hello world",
+        "The quick brown fox jumps over the lazy dog. " * 20,
+        "naïve façade — ünïcödé 🙂🙂",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "x",
+        " leading and trailing  spaces   ",
+        "int main() { return 0; } // code-ish [INST] <<SYS>>",
+        "\n\n\t tabs\nand newlines \n",
+    ]
+    # plus deterministic pseudo-random byte soup (valid utf-8 mix)
+    rng = __import__("numpy").random.default_rng(7)
+    for _ in range(5):
+        samples.append("".join(chr(int(c)) for c in
+                               rng.integers(32, 0x2FFF, size=200)))
+    for s in samples:
+        for bos, eos in [(True, False), (False, False), (True, True)]:
+            assert tok.encode(s, bos, eos) == py.encode(s, bos, eos), s
+
+
+@needs_ref_tokenizer
+def test_long_prompt_encode_is_fast():
+    """A 10K-char prompt must encode in well under 100 ms (the reference
+    merge loop is O(n^2) per scan; ours is a lazy-heap O(n log n))."""
+    import time
+
+    tok = Tokenizer(REFERENCE_TOKENIZER, 32000)
+    text = ("The quick brown fox jumps over the lazy dog near the bank "
+            "of the river while 42 ships sail away. ") * 105  # ~10.4K chars
+    assert len(text) > 10_000
+    tok.encode(text[:100], bos=True, eos=False)  # warm the lookup
+    t0 = time.perf_counter()
+    ids = tok.encode(text, bos=True, eos=False)
+    dt = time.perf_counter() - t0
+    assert len(ids) > 1000
+    assert dt < 0.1, f"encode took {dt*1e3:.1f} ms"
+    # and the pure-Python fallback is itself sub-quadratic: merging the
+    # same prompt without the native library must stay interactive
+    tok._native = None
+    t0 = time.perf_counter()
+    ids_py = tok.encode(text, bos=True, eos=False)
+    dt_py = time.perf_counter() - t0
+    assert ids_py == ids
+    assert dt_py < 2.0, f"python encode took {dt_py*1e3:.1f} ms"

@@ -2,7 +2,9 @@ from llama_cu_awq_tpu.parallel.mesh import make_mesh
 from llama_cu_awq_tpu.parallel.multihost import (
     init_multihost,
     is_coordinator,
+    place_params_global,
     pod_mesh,
+    put_global,
 )
 from llama_cu_awq_tpu.parallel.tp import (
     make_shard_forward,

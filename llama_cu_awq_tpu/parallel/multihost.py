@@ -54,3 +54,33 @@ def pod_mesh(tp: int | None = None):
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def put_global(x, sharding):
+    """Place host data (identical on every process) as a global jax.Array
+    over a possibly multi-process mesh.
+
+    jax.device_put of a host array onto a non-fully-addressable sharding
+    is version-sensitive; make_array_from_callback only ever asks each
+    process for the global slices of ITS addressable shards, which is
+    exactly the multi-host contract (every host holds the same logical
+    array, e.g. a checkpoint it read itself).
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def place_params_global(params, cfg, mesh):
+    """Multi-host analog of parallel.tp.place_params: every process holds
+    the same host-side TP-layout params (each read the checkpoint) and
+    contributes its local shards."""
+    from llama_cu_awq_tpu.parallel.tp import tp_param_shardings
+
+    sh = tp_param_shardings(cfg, mesh)
+    p_leaves, p_def = jax.tree.flatten(params)
+    s_leaves = jax.tree.leaves(sh)
+    placed = [put_global(x, s) for x, s in zip(p_leaves, s_leaves)]
+    return jax.tree.unflatten(p_def, placed)

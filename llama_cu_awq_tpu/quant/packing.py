@@ -258,6 +258,18 @@ def quantize_np(w: np.ndarray, group_size: int = GROUP_SIZE):
 _AWQ_ORDER_MAP = np.array([0, 2, 4, 6, 1, 3, 5, 7])
 
 
+def awq_pack_interleaved(vals: np.ndarray) -> np.ndarray:
+    """int (h, w) 0..15 -> uint32 (h, w//8) with AWQ's order_map nibble
+    interleave (inverse of awq_unpack_interleaved; the export direction,
+    used to emit original-format AWQ dumps from locally quantized
+    weights, e.g. tools/train_tiny.py)."""
+    h, w = vals.shape
+    v = vals.reshape(h, w // 8, 8).astype(np.uint32)
+    v = v[:, :, _AWQ_ORDER_MAP]  # nibble j holds column order_map[j]
+    shifts = (4 * np.arange(8, dtype=np.uint32)).reshape(1, 1, 8)
+    return np.bitwise_or.reduce(v << shifts, axis=2)
+
+
 def awq_unpack_interleaved(arr: np.ndarray, height: int, width: int) -> np.ndarray:
     """uint32 (height, width//8) AWQ-ordered -> int32 (height, width) values."""
     shifts = (4 * np.arange(8, dtype=np.uint32)).reshape(1, 1, 8)

@@ -22,17 +22,7 @@ from llama_cu_awq_tpu.quant import packing
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
-
-
-def awq_pack_interleaved(vals: np.ndarray) -> np.ndarray:
-    """int (h, w) 0..15 -> uint32 (h, w//8) with AWQ's order_map nibble
-    interleave (inverse of packing.awq_unpack_interleaved)."""
-    h, w = vals.shape
-    v = vals.reshape(h, w // 8, 8).astype(np.uint32)
-    v = v[:, :, _AWQ_ORDER]  # nibble j holds logical column order_map[j]
-    shifts = (4 * np.arange(8, dtype=np.uint32)).reshape(1, 1, 8)
-    return np.bitwise_or.reduce(v << shifts, axis=2)
+awq_pack_interleaved = packing.awq_pack_interleaved
 
 
 @pytest.fixture(scope="module")

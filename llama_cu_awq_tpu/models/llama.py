@@ -421,15 +421,16 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # (ops/pallas/batched_attention.py) — int8-NATIVE for the
         # quantized cache (codes + scales go straight to the kernel;
         # no dequantized window is materialized)
+        full_A = cache.k[l].shape[1] if cache.k else A
         batched = (T == 1 and attn_impl == "batched"
-                   and cfg.head_dim % 128 == 0 and A % 128 == 0)
+                   and cfg.head_dim % 128 == 0 and full_A % 128 == 0)
         if attn_impl == "batched" and T == 1 and not batched and l == 0:
             import warnings
 
             warnings.warn(
                 f"attn_impl='batched' needs head_dim % 128 == 0 and "
-                f"attn_len % 128 == 0 (got head_dim={cfg.head_dim}, "
-                f"attn_len={A}); falling back to the einsum path",
+                f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
+                f"cache len={full_A}); falling back to the einsum path",
                 stacklevel=2)
         if cache.quantized:
             kq, ks = quantize_kv(kh)
@@ -441,8 +442,12 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             new_ks.append(ks_l)
             new_vs.append(vs_l)
             if batched:
-                k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
-                scales = (ks_l[:, :A], vs_l[:, :A])
+                # full window, unsliced: a [:, :A] slice feeding a
+                # pallas custom call cannot fuse (XLA materializes a
+                # copy of the cache); the kernel's per-slot early exit
+                # already reads only up to pos[b]
+                k_att, v_att = k_cache_l, v_cache_l
+                scales = (ks_l, vs_l)
             else:
                 # dequantize the window on the fly; XLA fuses the int8
                 # load + scale multiply into the attention dot's operand
@@ -453,7 +458,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             k_cache_l = _update_cache(cache.k[l], kh, pos)
             v_cache_l = _update_cache(cache.v[l], vh, pos)
-            k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
+            if batched:  # unsliced: see the quantized branch
+                k_att, v_att = k_cache_l, v_cache_l
+            else:
+                k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
             scales = (None, None)
         new_k.append(k_cache_l)
         new_v.append(v_cache_l)
@@ -463,6 +471,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
             attn = ba.batched_decode_attention(
                 qh[:, 0], k_att, v_att, pos, scales[0], scales[1],
+                attn_len=A,
                 interpret=not _on_tpu()).reshape(B, 1, H * D).astype(
                     act_dtype)
         else:

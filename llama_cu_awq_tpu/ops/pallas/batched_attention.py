@@ -21,6 +21,15 @@ the probability matrix (v) — no dequantized window is ever materialized
 (the engine's einsum fallback for int8 relies on XLA fusing the dequant;
 a kernel reading bf16 dequantized inputs would double KV traffic).
 
+Per-slot early exit: `pos` is a scalar-prefetch operand and the KV
+block index maps clamp at `pos[b] // a_blk` — Mosaic skips the DMA
+when consecutive grid steps resolve to the same block, and `pl.when`
+skips the compute, so a slot only pays for the window it has actually
+filled. In steady-state serving with mixed progress this roughly
+halves both KV traffic and MXU work vs scanning the full window for
+every slot (the reference's per-position launch sizes the grid by
+`pos` the same way, `llama2_q4.cu:273`).
+
 Softmax is the standard online/flash recurrence, carried per head as
 (1, Hp) row vectors; the alpha rescale of acc is a per-ROW multiply
 (rows = heads), so no lane-broadcast is needed anywhere.
@@ -86,48 +95,52 @@ def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
             m_ref[:] = jnp.full_like(m_ref, _NEG)
             l_ref[:] = jnp.zeros_like(l_ref)
 
-        k_blk = k_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
-        v_blk = v_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
-        raw = jax.lax.dot_general(
-            k_blk, qbd_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (a_blk, Hp)
-        if quantized:
-            # per-(position, kv-head) k scales -> expand kv columns to H
-            ks = ks_ref[0]                                 # (a_blk, n_kv)
-            if kv_mul > 1 or Hp != n_kv:
-                kv_idx = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_kv, Hp), 0)
-                col_kv = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_kv, Hp), 1) // kv_mul
-                expand = jnp.where(kv_idx == col_kv, 1.0, 0.0)
-                ks = jax.lax.dot_general(
-                    ks, expand, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # (a_blk, Hp)
-            raw = raw * ks
-        s = raw * scale
-        row = a * a_blk + jax.lax.broadcasted_iota(
-            jnp.int32, (a_blk, Hp), 0)
-        valid = row <= pos_ref[b]
-        s = jnp.where(valid, s, _NEG)
+        @pl.when(a <= pos_ref[b] // a_blk)
+        def _():
+            k_blk = k_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+            v_blk = v_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+            raw = jax.lax.dot_general(
+                k_blk, qbd_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (a_blk, Hp)
+            expand = None
+            if quantized:
+                # per-(position, kv-head) k scales -> expand kv cols to H
+                ks = ks_ref[0]                             # (a_blk, n_kv)
+                if kv_mul > 1 or Hp != n_kv:
+                    kv_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_kv, Hp), 0)
+                    col_kv = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_kv, Hp), 1) // kv_mul
+                    expand = jnp.where(kv_idx == col_kv, 1.0, 0.0)
+                    ks = jax.lax.dot_general(
+                        ks, expand, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (a_blk, Hp)
+                raw = raw * ks
+            s = raw * scale
+            row = a * a_blk + jax.lax.broadcasted_iota(
+                jnp.int32, (a_blk, Hp), 0)
+            valid = row <= pos_ref[b]
+            s = jnp.where(valid, s, _NEG)
 
-        m_old = m_ref[:]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)                     # (1, Hp)
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)      # (a_blk, Hp)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
-        m_ref[:] = m_new
-        if quantized:
-            vs = vs_ref[0]
-            if kv_mul > 1 or Hp != n_kv:
-                vs = jax.lax.dot_general(
-                    vs, expand, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            p = p * vs                                     # fold v scales
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (Hp, HD)
-        alpha_rows = jnp.swapaxes(alpha, 0, 1)             # (Hp, 1)
-        acc_ref[:] = acc_ref[:] * alpha_rows + pv
+            m_old = m_ref[:]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)                 # (1, Hp)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (a_blk, Hp)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0,
+                                                  keepdims=True)
+            m_ref[:] = m_new
+            if quantized:
+                vs = vs_ref[0]
+                if expand is not None:
+                    vs = jax.lax.dot_general(
+                        vs, expand, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                p = p * vs                                 # fold v scales
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (Hp, HD)
+            alpha_rows = jnp.swapaxes(alpha, 0, 1)         # (Hp, 1)
+            acc_ref[:] = acc_ref[:] * alpha_rows + pv
 
         @pl.when(a == n_blocks - 1)
         def _():
@@ -160,37 +173,65 @@ def supports(q: jax.Array, k: jax.Array) -> bool:
     return D % 128 == 0 and A % 128 == 0 and H % n_kv == 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "early_exit",
+                                    "attn_len"))
 def batched_decode_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             early_exit: bool = True,
+                             attn_len: int | None = None) -> jax.Array:
     """q: (B, H, D); k, v: (B, A, Hkv, D) bf16 — or int8 codes with
-    k_scale/v_scale (B, A, Hkv) f32; pos: (B,) -> (B, H, D) f32."""
+    k_scale/v_scale (B, A, Hkv) f32; pos: (B,) -> (B, H, D) f32.
+
+    attn_len: static upper bound on every pos+1 (the engine's attention
+    bucket): the grid only covers ceil(attn_len / a_blk) blocks of the
+    cache — the cache is read in place, never sliced/copied.
+    early_exit=False pins static block index maps (every slot scans the
+    whole grid) — kept for A/B measurement of the scalar-prefetch
+    scheduling cost."""
     B, H, D = q.shape
     A, n_kv = k.shape[1], k.shape[2]
     HD = n_kv * D
     quantized = k_scale is not None
     a_blk = _pick_blk(A, HD * k.dtype.itemsize)
-    n_blocks = A // a_blk
+    n_blocks = -(-min(attn_len or A, A) // a_blk)
     Hp = max(-(-H // 128) * 128, 128)
     scale = 1.0 / float(np.sqrt(D))
 
     kernel = _make_kernel(n_blocks, a_blk, H, Hp, n_kv, D, scale,
                           quantized)
+
+    # KV block index maps clamp at each slot's last needed block:
+    # Mosaic elides the DMA when the block index repeats between
+    # consecutive grid steps, and the kernel's pl.when skips the
+    # compute — per-slot early exit without manual DMA.
+    if early_exit:
+        def kv_map(b, a, p):
+            return (b, jnp.minimum(a, p[b] // a_blk), 0, 0)
+
+        def sc_map(b, a, p):
+            return (b, jnp.minimum(a, p[b] // a_blk), 0)
+    else:
+        def kv_map(b, a, p):
+            return (b, a, 0, 0)
+
+        def sc_map(b, a, p):
+            return (b, a, 0)
+
     in_specs = [
-        pl.BlockSpec((B,), lambda b, a: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, H, D), lambda b, a: (b, 0, 0),
+        pl.BlockSpec((1, H, D), lambda b, a, p: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, n_kv, D), lambda b, a: (b, a, 0, 0),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, n_kv, D), lambda b, a: (b, a, 0, 0),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map,
                      memory_space=pltpu.VMEM),
     ]
-    args = [pos.astype(jnp.int32), q, k, v]
+    args = [q, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, a_blk, n_kv), lambda b, a: (b, a, 0),
+            pl.BlockSpec((1, a_blk, n_kv), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_blk, n_kv), lambda b, a: (b, a, 0),
+            pl.BlockSpec((1, a_blk, n_kv), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -199,21 +240,25 @@ def batched_decode_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
         flops=2 * 2 * B * A * HD * Hp,
         bytes_accessed=2 * B * A * HD * k.dtype.itemsize + B * H * D * 6,
         transcendentals=B * Hp * A)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, H, D), lambda b, a: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, H, D), lambda b, a, p: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HD, Hp), jnp.bfloat16),   # Q_bd
             pltpu.VMEM((Hp, HD), jnp.float32),    # acc
             pltpu.VMEM((1, Hp), jnp.float32),     # running max
             pltpu.VMEM((1, Hp), jnp.float32),     # running denom
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.float32),
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(*args)
+    )(pos.astype(jnp.int32), *args)

@@ -59,6 +59,29 @@ def test_int8_native_matches_dequant_einsum(rng):
                                rtol=3e-2, atol=3e-2)
 
 
+def test_scheduling_variants_match(rng):
+    """early_exit on/off and a static attn_len grid bound are pure
+    scheduling choices — identical numerics."""
+    B, A, H, n_kv, D = 3, 512, 4, 2, 128
+    q, k, v = make_inputs(rng, B, A, H, n_kv, D)
+    positions = jnp.asarray([57, 300, 127], jnp.int32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+
+    base = np.asarray(batched_decode_attention(
+        q[:, 0], kq, vq, positions, ks, vs, interpret=True))
+    static = np.asarray(batched_decode_attention(
+        q[:, 0], kq, vq, positions, ks, vs, interpret=True,
+        early_exit=False))
+    np.testing.assert_array_equal(base, static)
+    # attn_len bounds the grid: any bound >= max(pos)+1 is equivalent
+    for attn_len in (384, 512):
+        bounded = np.asarray(batched_decode_attention(
+            q[:, 0], kq, vq, positions, ks, vs, interpret=True,
+            attn_len=attn_len))
+        np.testing.assert_array_equal(base, bounded)
+
+
 def test_mask_respects_pos(rng):
     B, A, H, n_kv, D = 2, 256, 4, 2, 128
     q, k, v = make_inputs(rng, B, A, H, n_kv, D)

@@ -15,15 +15,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/llama_tpu_jax_cache")
 
-    from llama_cu_awq_tpu.config import LLAMA2_7B as cfg
+    from llama_cu_awq_tpu.config import LLAMA2_7B, LLAMA2_13B
     from llama_cu_awq_tpu.models.llama import synthetic_params
     from llama_cu_awq_tpu.ops.pallas import int4_matmul as m
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="7b", choices=["7b", "13b"])
+    args = ap.parse_args()
+    cfg = LLAMA2_13B if args.config == "13b" else LLAMA2_7B
 
     params = synthetic_params(cfg, seed=0, tpu_layout=True)
     jax.block_until_ready(params.embed)

@@ -52,14 +52,21 @@ def engine_jit(fun=None, **kw):
     behind large slice DMAs, too little loses prefetch overlap; ~12 MB
     (two in-flight 6.3 MB qkv half-tiles) is the measured sweet spot.
 
+    Per-step tuning: pass tuned={...} with step-specific option
+    overrides (e.g. a different scoped-vmem limit for the batched
+    serving step than the batch-1 decode step — the sweet spot is
+    mode-dependent). Env overrides still win:
     LLAMA_TPU_COMPILER_OPTS="k=v,k2=v2" overrides/extends per-compile
     XLA options — the supported tuning path on platforms where global
     XLA_FLAGS do not reach the (possibly remote) TPU compiler.
     """
     from llama_cu_awq_tpu.ops.linear import _on_tpu
 
+    tuned = kw.pop("tuned", None)
     # the CPU (test) compiler rejects TPU-only option names
     opts = dict(_DEFAULT_COMPILER_OPTS) if _on_tpu() else {}
+    if tuned and _on_tpu():
+        opts.update({k: str(v) for k, v in tuned.items()})
     opts.update(p.split("=", 1)
                 for p in os.environ.get(
                     "LLAMA_TPU_COMPILER_OPTS", "").split(",") if p)

@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-2 chip measurement queue: run back-to-back once the TPU tunnel
+# is reachable, logging each step. Order = VERDICT priority: serving
+# attention (item 1), batch-1 (item 2), real model (item 3),
+# long-context (item 4), 13B (item 5).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_session
+mkdir -p $LOG
+
+run() {  # run <name> <cmd...>
+    echo "=== $1: $(date +%H:%M:%S) ===" | tee -a $LOG/session.log
+    "${@:2}" > $LOG/$1.log 2>&1
+    echo "--- $1 exit $? at $(date +%H:%M:%S)" | tee -a $LOG/session.log
+    tail -4 $LOG/$1.log | tee -a $LOG/session.log
+}
+
+# 1. kernel variant A/B (early exit vs static; int8/bf16; vs einsum)
+run mb_attn python -u tools/microbench_attn.py
+
+# 2. serving bench with the early-exit kernel (direct VERDICT item 1)
+run bench_batched python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl batched --repeats 3
+
+# 3. batch-1 with the batched kernel (attention exposure lever)
+run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
+
+# 4. batch-1 baseline re-measure (same chip phase for comparison)
+run bench_b1_base python -u bench.py --repeats 4
+
+# 5. train the real model (TPU, ~10 min), full e2e incl. PPL parity
+run real_e2e bash tools/real_model_e2e.sh /root/data/tinyllama 3000
+
+# 6. long-context decode: 2K and 4K windows
+run bench_2k python -u bench.py --max-seq 2048 --prompt-len 1664 \
+    --steps 256 --repeats 3
+run bench_2k_batched python -u bench.py --max-seq 2048 \
+    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl batched
+run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
+    --steps 256 --repeats 3 --attn-impl batched
+
+# 7. 13B: tiling sweep then bench
+run sweep_13b python -u tools/sweep_int4.py --config 13b
+run bench_13b python -u bench.py --config 13b --repeats 4
+
+echo "=== chip session complete $(date) ===" | tee -a $LOG/session.log

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Real-model end-to-end: train a small REAL Llama on real text (TPU),
+# export AWQ (original interleaved format), pack with the native
+# weight_packer, then generate / chat / perplexity through the full
+# engine — the analog of the reference's README transcript
+# (/root/reference/README.md:88-112) in a hermetic, zero-egress image.
+#
+# Usage: bash tools/real_model_e2e.sh [outdir] [steps]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+OUT=${1:-/root/data/tinyllama}
+STEPS=${2:-3000}
+CORPUS=/root/data/corpus
+TOK=/root/reference/tokenizer.bin
+
+[ -f $CORPUS/train.txt ] || python tools/build_corpus.py --out $CORPUS
+
+# 1. train (defaults: dim 512 / hidden 1536 / 8L / 8H, ~50M params)
+python -u tools/train_tiny.py --corpus $CORPUS --out $OUT --steps $STEPS
+
+# 2. pack through the offline pipeline (native packer, old AWQ format)
+cmake -B native/build -G Ninja native >/dev/null && ninja -C native/build
+native/build/weight_packer $OUT/awq/config.json $OUT/awq $OUT/model.bin 1
+
+# 3. transcripts: greedy + the reference's default sampling
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.0 -n 64 \
+    -i "The gradient of a function" | tee $OUT/transcript_greedy.txt
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.5 -p 0.6 -s 1234 \
+    -n 64 -i "To install the package," | tee $OUT/transcript_sampled.txt
+
+# 4. perplexity parity: pallas path (TPU) vs the f32 dequant oracle (CPU)
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -m perplexity \
+    -q $CORPUS/valid.txt | tee $OUT/ppl_pallas.txt
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -m perplexity \
+    -q $CORPUS/valid.txt --platform cpu --impl dequant \
+    | tee $OUT/ppl_oracle.txt
+
+grep -h "Geomean perplexity" $OUT/ppl_pallas.txt $OUT/ppl_oracle.txt

@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched"],
+                    choices=["flash", "batched", "batched_static"],
                     help="Pallas decode-attention kernel (flash: long-"
                          "context blockwise; batched: serving shapes, "
                          "int8-KV-native)")

@@ -50,7 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="int8-quantize the KV cache (halves its memory "
                          "and bandwidth; near-lossless)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched"],
+                    choices=["flash", "batched", "batched_static"],
                     help="Pallas decode-attention kernel: flash (long-"
                          "context blockwise) or batched (serving "
                          "shapes, int8-KV-native)")

@@ -422,9 +422,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         # quantized cache (codes + scales go straight to the kernel;
         # no dequantized window is materialized)
         full_A = cache.k[l].shape[1] if cache.k else A
-        batched = (T == 1 and attn_impl == "batched"
+        batched = (T == 1
+                   and attn_impl in ("batched", "batched_static")
                    and cfg.head_dim % 128 == 0 and full_A % 128 == 0)
-        if attn_impl == "batched" and T == 1 and not batched and l == 0:
+        if (attn_impl in ("batched", "batched_static") and T == 1
+                and not batched and l == 0):
             import warnings
 
             warnings.warn(
@@ -471,7 +473,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
             attn = ba.batched_decode_attention(
                 qh[:, 0], k_att, v_att, pos, scales[0], scales[1],
-                attn_len=A,
+                attn_len=A, early_exit=attn_impl != "batched_static",
                 interpret=not _on_tpu()).reshape(B, 1, H * D).astype(
                     act_dtype)
         else:

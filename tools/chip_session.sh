@@ -22,6 +22,10 @@ run mb_attn python -u tools/microbench_attn.py
 run bench_batched python -u bench.py --mode batch --slots 32 \
     --requests 64 --kv-quant --attn-impl batched --repeats 3
 
+# 2b. static-map variant (bucket-bounded grid, no dynamic index maps)
+run bench_batched_static python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl batched_static --repeats 3
+
 # 3. batch-1 with the batched kernel (attention exposure lever)
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 

@@ -61,6 +61,29 @@ def test_greedy_generation_deterministic(toy_setup):
     assert stats1["tokens"] == 11
 
 
+def test_long_context_window_consistency(toy_setup):
+    """Long-window engines agree with a short-window engine while the
+    position is inside both windows (the window only changes what CAN
+    be attended, and nothing beyond pos ever contributes): greedy
+    streams at max_seq 2048 and 256 must match for the first ~250
+    tokens. Guards the bucketed long-context decode path (2K windows,
+    reference common.h:6-7) before it is benched on chip."""
+    params, cfg, tok = toy_setup
+    import dataclasses
+
+    cfg_long = dataclasses.replace(cfg, seq_len=2048)
+    e_short = make_engine((params, cfg, tok), temperature=0.0,
+                          max_seq=96, chunk_size=32)
+    t_short, _ = e_short.generate("the cat", steps=90)
+    e_long = make_engine((params, cfg_long, tok), temperature=0.0,
+                         max_seq=2048, chunk_size=32)
+    t_long, stats = e_long.generate("the cat", steps=90)
+    assert t_long[: len(t_short)] == t_short
+    # and the long engine keeps generating past the short window
+    t_long2, stats2 = e_long.generate("", steps=200)
+    assert e_long.pos > 96 and stats2["tokens"] > 0
+
+
 def test_seeded_sampling_deterministic(toy_setup):
     e1 = make_engine(toy_setup, temperature=0.8, topp=0.9, seed=42)
     t1, _ = e1.generate("the cat", steps=12)

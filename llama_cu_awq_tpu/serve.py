@@ -14,14 +14,18 @@ Architecture
   per-request token queues — all device work stays on the engine
   thread, so the TPU never sees concurrent clients.
 - Endpoints (OpenAI-compatible shapes):
-    POST /v1/completions   {"prompt", "max_tokens", "stream": bool}
+    POST /v1/completions   {"prompt", "max_tokens", "stream": bool,
+                            "stop": str | [str, ...] (<= 4),
+                            "temperature", "top_p"}
                            -> text_completion JSON, or SSE stream of
-                              {"choices":[{"text": piece}]} chunks
+                              {"choices":[{"text": piece}]} chunks;
+                           stop sequences truncate the output before
+                           the match and free the slot immediately
     GET  /v1/models        -> model listing
     GET  /health           -> {"status": "ok"}
     GET  /stats            -> engine counters (requests, tok/s, ...)
-- Sampling (temperature/top-p/seed) is engine-global, set at server
-  start — the same contract as the reference's CLI flags.
+- Sampling: per-request temperature/top_p override the server-start
+  defaults (the reference's CLI flags); the seed is engine-global.
 
 CLI: python -m llama_cu_awq_tpu.serve model.bin -z tokenizer.bin \
          [--port 8000] [--slots 16] [--tp N] [engine flags]
@@ -224,6 +228,13 @@ class _Handler(BaseHTTPRequestHandler):
                 temperature = float(temperature)
             if topp is not None:
                 topp = float(topp)
+            stop = req.get("stop")
+            stops = ([stop] if isinstance(stop, str) else
+                     list(stop) if stop is not None else [])
+            if not all(isinstance(s, str) and s for s in stops) \
+                    or len(stops) > 4:
+                raise ValueError("stop must be a non-empty string or "
+                                 "a list of up to 4 of them")
         except (ValueError, json.JSONDecodeError, TypeError) as e:
             self._json(400, {"error": f"bad request: {e}"})
             return
@@ -269,16 +280,33 @@ class _Handler(BaseHTTPRequestHandler):
                         "finish_reason": reason}
             return {"index": 0, "text": text, "finish_reason": reason}
 
+        def find_stop(text):
+            """Earliest stop-sequence hit in text, or -1."""
+            hits = [text.find(s) for s in stops]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else -1
+
         obj = "chat.completion.chunk" if chat else "text_completion"
         if not stream:
             chunks, ids = [], []
+            text = None
             while True:
                 item = q.get()
                 if item is None:
                     break
                 ids.extend(item)
                 chunks.append(pieces(item))
-            text, n = "".join(chunks), len(ids)
+                if stops:
+                    cut = find_stop("".join(chunks))
+                    if cut >= 0:
+                        # matched a stop sequence: truncate before it and
+                        # free the slot (OpenAI `stop` semantics)
+                        text = "".join(chunks)[:cut]
+                        eng.cancel(rid)
+                        break
+            if text is None:
+                text = "".join(chunks)
+            n = len(ids)
             if chat:
                 self._json(200, {
                     "id": cid, "object": "chat.completion",
@@ -301,17 +329,42 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
         try:
+            # hold back a potential stop-sequence prefix so a stop
+            # string spanning two chunks is never partially emitted
+            hold = max((len(s) for s in stops), default=1) - 1
+            pending = ""
+
+            def emit(text):
+                if text:
+                    self._sse(json.dumps({
+                        "id": cid, "object": obj,
+                        "choices": [choice(text, None)]}))
+
+            def finish():
+                self._sse(json.dumps({
+                    "id": cid, "object": obj,
+                    "choices": [choice("", "stop")]}))
+                self._sse("[DONE]")
+
             while True:
                 item = q.get()
                 if item is None:
-                    self._sse(json.dumps({
-                        "id": cid, "object": obj,
-                        "choices": [choice("", "stop")]}))
-                    self._sse("[DONE]")
+                    emit(pending)
+                    finish()
                     break
-                self._sse(json.dumps({
-                    "id": cid, "object": obj,
-                    "choices": [choice(pieces(item), None)]}))
+                pending += pieces(item)
+                cut = find_stop(pending) if stops else -1
+                if cut >= 0:
+                    emit(pending[:cut])
+                    eng.cancel(rid)
+                    finish()
+                    break
+                if hold and len(pending) > hold:
+                    emit(pending[:-hold])
+                    pending = pending[-hold:]
+                elif not hold:
+                    emit(pending)
+                    pending = ""
             # terminate the chunked body (final zero-length chunk) —
             # without it, keep-alive clients block forever on the open
             # stream — and close: SSE is one response per connection

@@ -148,6 +148,62 @@ def test_streaming_sse(server):
     assert isinstance(text, str)
 
 
+def test_stop_sequence_blocking(server):
+    """A stop string taken from the unstopped greedy output truncates
+    the completion right before the match and frees the slot."""
+    base, be = server
+    st, raw = _post(base, "/v1/completions",
+                    {"prompt": "halt here", "max_tokens": 12})
+    full = json.loads(raw)["choices"][0]["text"]
+    assert st == 200 and len(full) > 4
+    stop = full[3:6]  # mid-output substring -> guaranteed hit
+    st, raw = _post(base, "/v1/completions",
+                    {"prompt": "halt here", "max_tokens": 12,
+                     "stop": stop})
+    body = json.loads(raw)
+    cut_text = body["choices"][0]["text"]
+    assert st == 200
+    assert stop not in cut_text
+    assert cut_text == full[: full.index(stop)]
+    assert body["choices"][0]["finish_reason"] == "stop"
+
+
+def test_stop_sequence_streaming(server):
+    """Streaming: the stop string never appears in emitted chunks even
+    when it spans a chunk boundary (holdback), and the stream ends with
+    [DONE]."""
+    base, be = server
+    st, raw = _post(base, "/v1/completions",
+                    {"prompt": "halt stream", "max_tokens": 12})
+    full = json.loads(raw)["choices"][0]["text"]
+    stop = full[2:7]
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": "halt stream", "max_tokens": 12,
+                         "stream": True, "stop": [stop]}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    text = "".join(json.loads(e)["choices"][0]["text"]
+                   for e in events[:-1])
+    assert stop not in text
+    assert text == full[: full.index(stop)]
+
+
+def test_stop_sequence_validation(server):
+    base, be = server
+    for bad in (123, ["ok", ""], ["a", "b", "c", "d", "e"]):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/v1/completions",
+                  {"prompt": "x", "max_tokens": 2, "stop": bad})
+        assert ei.value.code == 400
+
+
 def test_concurrent_requests_share_slots(server):
     """4 concurrent clients over 2 slots all complete."""
     base, be = server

@@ -48,10 +48,12 @@ def main():
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched", "batched_static"],
+                    choices=["flash", "batched", "batched_static",
+                             "fused_step"],
                     help="Pallas decode-attention kernel (flash: long-"
                          "context blockwise; batched: serving shapes, "
-                         "int8-KV-native)")
+                         "int8-KV-native; fused_step: whole attention "
+                         "step in one kernel)")
     ap.add_argument("--lm-head-8bit", dest="lm_head_bits",
                     action="store_const", const=8,
                     help="per-row int8 lm_head")

@@ -50,10 +50,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="int8-quantize the KV cache (halves its memory "
                          "and bandwidth; near-lossless)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched", "batched_static"],
+                    choices=["flash", "batched", "batched_static",
+                             "fused_step"],
                     help="Pallas decode-attention kernel: flash (long-"
-                         "context blockwise) or batched (serving "
-                         "shapes, int8-KV-native)")
+                         "context blockwise), batched (serving "
+                         "shapes, int8-KV-native), or fused_step "
+                         "(whole attention step - qkv split, RoPE, KV "
+                         "quantize, attention - in one kernel)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--platform", default=None,

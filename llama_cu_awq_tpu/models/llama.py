@@ -352,6 +352,44 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
     return out.reshape(B, T, H * D)
 
 
+def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
+                    act_dtype):
+    """o-proj + residual + FFN for one layer; returns (x, next rms ss).
+
+    fused: o-proj + residual + next rms scale in one kernel, then
+    gate/up with the rms apply fused, then SwiGLU + down-proj +
+    residual + next rms scale (the reference's accum flag +
+    ffn_matvec_silu_kernel, gpu_kernels.h:213-275). Unfused: the same
+    math as separate ops, with psum over the tp axis after the
+    row-parallel o/down projections (llama2_q4.cu:323).
+    """
+    if fused:
+        x, ss = qmatmul_fused(attn, layer.wo, matmul_impl,
+                              residual=x, emit_ss_eps=RMS_EPS,
+                              out_dtype=act_dtype)
+        gu, _ = qmatmul_fused(x, layer.w_gate_up, matmul_impl,
+                              prescale=(ss, layer.ffn_norm),
+                              out_dtype=act_dtype)
+        g, u = jnp.split(gu, 2, axis=-1)
+        x, ss = qmatmul_fused(g, layer.w_down, matmul_impl,
+                              silu_u=u, residual=x,
+                              emit_ss_eps=RMS_EPS,
+                              out_dtype=act_dtype)
+        return x, ss
+    o_part = qmatmul(attn, layer.wo, matmul_impl)
+    if tp_axis:
+        o_part = lax.psum(o_part, tp_axis)
+    x = (o_part + x.astype(jnp.float32)).astype(act_dtype)
+    xb = rmsnorm(x, layer.ffn_norm)
+    gu = qmatmul(xb, layer.w_gate_up, matmul_impl)
+    g, u = jnp.split(gu, 2, axis=-1)
+    h = (g * jax.nn.sigmoid(g) * u).astype(act_dtype)  # SiLU(g)*u, f32
+    d_part = qmatmul(h, layer.w_down, matmul_impl)
+    if tp_axis:
+        d_part = lax.psum(d_part, tp_axis)
+    return (d_part + x.astype(jnp.float32)).astype(act_dtype), None
+
+
 def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             pos: jax.Array, cache: KVCache, *, attn_len: int | None = None,
             act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
@@ -392,10 +430,36 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
+    ss = None
     if fused:
         xf = x.astype(jnp.float32)
         ss = jax.lax.rsqrt(
             jnp.mean(xf * xf, axis=-1, keepdims=True) + RMS_EPS)
+
+    # attn_impl "fused_step": the whole attention step (qkv split, RoPE,
+    # KV quantize, current-token + windowed attention) runs as ONE
+    # Pallas kernel per layer (ops/pallas/attention_step.py) — only the
+    # cache row-scatters stay in XLA, and they land AFTER attention
+    # (the current token's k/v enters the kernel from the qkv row, so
+    # the write->read serialization disappears)
+    full_A0 = cache.k[0].shape[1] if cache.k else A
+    fstep = (T == 1 and attn_impl == "fused_step"
+             and cfg.head_dim % 128 == 0 and full_A0 % 128 == 0
+             and H % KV == 0)
+    if attn_impl == "fused_step" and T == 1 and not fstep:
+        import warnings
+
+        warnings.warn(
+            f"attn_impl='fused_step' needs head_dim % 128 == 0 and "
+            f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
+            f"cache len={full_A0}); falling back to the einsum path",
+            stacklevel=2)
+    if fstep:
+        from llama_cu_awq_tpu.ops.linear import _on_tpu
+        from llama_cu_awq_tpu.ops.pallas.attention_step import (
+            attention_step, rope_rows)
+
+        cos2, sinm = rope_rows(pos, cfg.head_dim, cfg.rope_theta)
 
     # unrolled layer loop: per-layer weights/caches are separate arrays,
     # so Pallas kernels and attention read them with zero copies (a
@@ -411,6 +475,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             xb = rmsnorm(x, layer.attn_norm)
             qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
+        if fstep:
+            attn_k, kn, vn, ksn, vsn = attention_step(
+                qkv[:, 0], cache.k[l], cache.v[l], pos, cos2, sinm,
+                cache.k_scale[l] if cache.quantized else None,
+                cache.v_scale[l] if cache.quantized else None,
+                n_heads=H, attn_len=A, interpret=not _on_tpu())
+            new_k.append(_update_cache(cache.k[l], kn[:, None], pos))
+            new_v.append(_update_cache(cache.v[l], vn[:, None], pos))
+            if cache.quantized:
+                new_ks.append(
+                    _update_cache(cache.k_scale[l], ksn[:, None], pos))
+                new_vs.append(
+                    _update_cache(cache.v_scale[l], vsn[:, None], pos))
+            attn = attn_k.reshape(B, 1, H * D).astype(act_dtype)
+            x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                    matmul_impl, act_dtype)
+            continue
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
         kh = kh.reshape(B, T, KV, D)
@@ -479,38 +560,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)
-        if fused:
-            # o-proj + residual + next rms scale in one kernel, then
-            # gate/up with the rms apply fused, then SwiGLU + down-proj
-            # + residual + next rms scale (the reference's accum flag +
-            # ffn_matvec_silu_kernel, gpu_kernels.h:213-275)
-            x, ss = qmatmul_fused(attn, layer.wo, matmul_impl,
-                                  residual=x, emit_ss_eps=RMS_EPS,
-                                  out_dtype=act_dtype)
-            gu, _ = qmatmul_fused(x, layer.w_gate_up, matmul_impl,
-                                  prescale=(ss, layer.ffn_norm),
-                                  out_dtype=act_dtype)
-            g, u = jnp.split(gu, 2, axis=-1)
-            x, ss = qmatmul_fused(g, layer.w_down, matmul_impl,
-                                  silu_u=u, residual=x,
-                                  emit_ss_eps=RMS_EPS,
-                                  out_dtype=act_dtype)
-            continue
-        # o-proj with fused residual accumulate (llama2_q4.cu:323);
-        # row-parallel under TP: partial sums reduced over the tp axis
-        o_part = qmatmul(attn, layer.wo, matmul_impl)
-        if tp_axis:
-            o_part = lax.psum(o_part, tp_axis)
-        x = (o_part + x.astype(jnp.float32)).astype(act_dtype)
-        # --- FFN block ---
-        xb = rmsnorm(x, layer.ffn_norm)
-        gu = qmatmul(xb, layer.w_gate_up, matmul_impl)
-        g, u = jnp.split(gu, 2, axis=-1)
-        h = (g * jax.nn.sigmoid(g) * u).astype(act_dtype)  # SiLU(g)*u, f32
-        d_part = qmatmul(h, layer.w_down, matmul_impl)
-        if tp_axis:
-            d_part = lax.psum(d_part, tp_axis)
-        x = (d_part + x.astype(jnp.float32)).astype(act_dtype)
+        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                matmul_impl, act_dtype)
 
     if no_logits:
         # teacher-forced prompt step: only the cache matters (the

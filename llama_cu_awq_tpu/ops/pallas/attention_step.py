@@ -1,0 +1,357 @@
+"""Fused decode attention STEP Pallas kernel: qkv split + RoPE + KV
+quantization + current-token attention + windowed attention in ONE
+kernel launch per layer.
+
+Motivation (batch-1 decode, PERFORMANCE.md "Remaining headroom"): with
+the fused int4 matmul kernels, what remains between kernels is pure
+XLA glue — qkv split (3 slices), RoPE on q/k (trig + mul/add chains),
+per-vector int8 KV quantization (abs/max/round), the cache scatter, and
+the attention einsums — dozens of sub-microsecond-payload ops whose
+*latency* (not bandwidth) is partially exposed in the step schedule.
+This kernel ingests the qkv projection row exactly as the fused matmul
+kernel produced it and emits the attention output ready for the wo
+kernel, so a decoder layer becomes kernel -> kernel -> kernel ->
+kernel -> kernel with only the 4 cache row-scatters left in XLA.
+
+It is the whole-step generalization of batched_attention.py (same
+block-diagonal score/acc scheme, same online softmax, same per-slot
+early exit) with three additions:
+
+  1. RoPE in-kernel: rotate-half is a lane roll by D/2 —
+     out = x * [cos|cos] + roll(x, D/2) * [-sin|sin] — so the host
+     passes two (B, D) rope rows per step (amortized over all layers)
+     instead of running the trig chain per layer (reference:
+     RoPERotation_kernel, gpu_kernels.h:332-355, fused into the step
+     the way the reference fuses k/v cache writes into its qkv GEMV,
+     gpu_kernels.h:242-254).
+  2. The CURRENT token's k/v never round-trips through the cache: its
+     contribution enters the online-softmax recurrence as a 1-row
+     block at grid step 0 (order-independence of the flash recurrence),
+     processed through the *identical* code path a future step will
+     use when reading it back — including int8 quantize/dequantize —
+     so scores are consistent across steps. The caller scatters the
+     returned row into the cache AFTER the kernel, concurrent with the
+     wo matmul, removing the write->read serialization entirely.
+  3. KV quantization in-kernel (parity with models.llama.quantize_kv:
+     symmetric per-(position, head) int8 on the bf16-rounded rope
+     output, scale = absmax/127 clamped at 1e-10).
+
+Reference counterparts: qkv_matvec_kernel's fused cache write
+(gpu_kernels.h:242-254), RoPERotation_kernel (:332-355),
+mat_vec_kernel_simple / softmax / vec_mat_kernel (:142-168, 357-446,
+279-329).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llama_cu_awq_tpu.ops.pallas.batched_attention import _pick_blk
+
+_NEG = -1e30
+
+
+def rope_rows(pos: jax.Array, head_dim: int, theta: float):
+    """Per-step rope factor rows for the kernel: (cos2, sinm), each
+    (B, head_dim) f32 with cos2 = [cos|cos], sinm = [-sin|sin]."""
+    from llama_cu_awq_tpu.ops.rope import rope_angles
+
+    cos, sin = rope_angles(pos, head_dim, theta)  # (B, hd/2) each
+    return (jnp.concatenate([cos, cos], axis=-1),
+            jnp.concatenate([-sin, sin], axis=-1))
+
+
+def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
+                 D: int, scale: float, quantized: bool, kv_dtype):
+    kv_mul = H // n_kv
+    HD = n_kv * D
+    half = D // 2
+
+    def _expand_mat():
+        """(n_kv, Hp) 0/1 matrix mapping kv-head cols to padded heads."""
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, (n_kv, Hp), 0)
+        col_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, Hp), 1) // kv_mul
+        return jnp.where(kv_idx == col_kv, 1.0, 0.0)
+
+    def _kernel(*refs):
+        it = iter(refs)
+        pos_ref = next(it)
+        qkv_ref = next(it)
+        cos_ref = next(it)
+        sin_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        ks_ref = next(it) if quantized else None
+        vs_ref = next(it) if quantized else None
+        o_ref = next(it)
+        kn_ref = next(it)
+        vn_ref = next(it)
+        ksn_ref = next(it) if quantized else None
+        vsn_ref = next(it) if quantized else None
+        qbd_ref = next(it)   # (HD, Hp) bf16 scratch
+        acc_ref = next(it)   # (Hp, HD) f32
+        m_ref = next(it)     # (1, Hp) f32
+        l_ref = next(it)     # (1, Hp) f32
+
+        b = pl.program_id(0)
+        a = pl.program_id(1)
+
+        def online_update(k_blk, v_blk, ks_row, vs_row, valid):
+            """One flash-recurrence step over a (rows, HD) bf16 block.
+
+            k_blk/v_blk: (rows, HD) bf16; ks_row/vs_row: (rows, n_kv)
+            f32 scales (quantized only); valid: (rows, Hp) bool mask.
+            """
+            raw = jax.lax.dot_general(
+                k_blk, qbd_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (rows, Hp)
+            expand = None
+            if quantized:
+                ks = ks_row
+                if kv_mul > 1 or Hp != n_kv:
+                    expand = _expand_mat()
+                    ks = jax.lax.dot_general(
+                        ks, expand, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                raw = raw * ks
+            s = jnp.where(valid, raw * scale, _NEG)
+            m_old = m_ref[:]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)                 # (1, Hp)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (rows, Hp)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+            m_ref[:] = m_new
+            if quantized:
+                vs = vs_row
+                if expand is not None:
+                    vs = jax.lax.dot_general(
+                        vs, expand, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                p = p * vs
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (Hp, HD)
+            acc_ref[:] = acc_ref[:] * jnp.swapaxes(alpha, 0, 1) + pv
+
+        @pl.when(a == 0)
+        def _():
+            cos = cos_ref[:]                               # (1, D) f32
+            sin = sin_ref[:]
+
+            def rope(x):  # (rows, D) f32 -> rotated f32
+                return x * cos + pltpu.roll(x, half, 1) * sin
+
+            # --- split + rope ---
+            q = qkv_ref[:, :H * D].reshape(H, D).astype(jnp.float32)
+            q_bf = rope(q).astype(jnp.bfloat16)
+            k = qkv_ref[:, H * D:(H + n_kv) * D].reshape(
+                n_kv, D).astype(jnp.float32)
+            # parity: apply_rope returns act dtype (bf16); the cache
+            # write and quantize_kv both consume that rounded value
+            k_bf = rope(k).astype(jnp.bfloat16)
+            v_bf = qkv_ref[:, (H + n_kv) * D:].reshape(
+                n_kv, D).astype(jnp.bfloat16)
+
+            # --- Q_bd: block-diagonal q (see batched_attention.py) ---
+            qt = jnp.swapaxes(q_bf, 0, 1)                  # (D, H)
+            if Hp != H:
+                qt = jnp.pad(qt, ((0, 0), (0, Hp - H)))
+            tiled = jnp.broadcast_to(qt[None], (n_kv, D, Hp)).reshape(
+                HD, Hp)
+            r_blk = jax.lax.broadcasted_iota(jnp.int32, (HD, Hp), 0) // D
+            col_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (HD, Hp), 1) // kv_mul
+            qbd_ref[:] = jnp.where(r_blk == col_kv, tiled, 0)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+            # --- new cache row (+ scales), via the kernel outputs ---
+            if quantized:
+                kf = k_bf.astype(jnp.float32)
+                vf = v_bf.astype(jnp.float32)
+                ks_new = jnp.maximum(
+                    jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 127.0,
+                    1e-10)                                 # (n_kv, 1)
+                vs_new = jnp.maximum(
+                    jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 127.0,
+                    1e-10)
+                kq = jnp.round(kf / ks_new)                # exact in bf16
+                vq = jnp.round(vf / vs_new)
+                kn_ref[0] = kq.astype(kv_dtype)
+                vn_ref[0] = vq.astype(kv_dtype)
+                ksn_ref[:] = jnp.swapaxes(ks_new, 0, 1)    # (1, n_kv)
+                vsn_ref[:] = jnp.swapaxes(vs_new, 0, 1)
+                # current-token contribution: identical math to a
+                # future step's cache read (codes -> bf16, scale post-dot)
+                online_update(
+                    kq.astype(jnp.bfloat16).reshape(1, HD),
+                    vq.astype(jnp.bfloat16).reshape(1, HD),
+                    jnp.swapaxes(ks_new, 0, 1),
+                    jnp.swapaxes(vs_new, 0, 1),
+                    jnp.full((1, Hp), True))
+            else:
+                kn_ref[0] = k_bf.astype(kv_dtype)
+                vn_ref[0] = v_bf.astype(kv_dtype)
+                online_update(k_bf.reshape(1, HD), v_bf.reshape(1, HD),
+                              None, None, jnp.full((1, Hp), True))
+
+        # --- window blocks: history rows strictly below pos[b] ---
+        @pl.when(a * a_blk < pos_ref[b])
+        def _():
+            k_blk = k_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+            v_blk = v_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+            row = a * a_blk + jax.lax.broadcasted_iota(
+                jnp.int32, (a_blk, Hp), 0)
+            online_update(
+                k_blk, v_blk,
+                ks_ref[0] if quantized else None,
+                vs_ref[0] if quantized else None,
+                row < pos_ref[b])
+
+        @pl.when(a == n_blocks - 1)
+        def _():
+            acc3 = acc_ref[:].reshape(Hp, n_kv, D)
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, (Hp, n_kv, 1), 1)
+            h_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (Hp, n_kv, 1), 0) // kv_mul
+            out = jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0), axis=1)
+            l_rows = jnp.swapaxes(l_ref[:], 0, 1)          # (Hp, 1)
+            o_ref[0] = (out / l_rows)[:H]
+
+    return _kernel
+
+
+def supports(n_heads: int, n_kv: int, head_dim: int, attn_len: int) -> bool:
+    return (head_dim % 128 == 0 and attn_len % 128 == 0
+            and n_heads % n_kv == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "attn_len", "early_exit",
+                                    "interpret"))
+def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
+                   k_scale=None, v_scale=None, *, n_heads: int,
+                   attn_len: int | None = None, early_exit: bool = True,
+                   interpret: bool = False):
+    """One decode attention step straight from the qkv projection row.
+
+    qkv: (B, (H + 2*Hkv) * D) float — layout [q | k | v] exactly as the
+      fused qkv matmul emits it (wqkv column concat, models/llama.py).
+    k_cache/v_cache: (B, A, Hkv, D) bf16 — or int8 codes with
+      k_scale/v_scale (B, A, Hkv) f32. Read-only history; rows at
+      pos[b] and beyond are ignored (the current row is supplied by
+      qkv, not the cache).
+    pos: (B,) current absolute position per slot.
+    cos2/sinm: (B, D) f32 rope factor rows from rope_rows(pos, ...).
+    attn_len: static bucket bound (>= every pos + 1).
+
+    Returns (attn (B, H, D) f32, k_new (B, Hkv, D) cache-dtype, v_new,
+    k_s, v_s) where k_s/v_s are (B, Hkv) f32 scales (None unless
+    quantized). The caller owns scattering k_new/v_new (+ scales) into
+    the cache at row pos[b].
+    """
+    B, A, n_kv, D = k_cache.shape
+    H = n_heads
+    HD = n_kv * D
+    assert qkv.shape == (B, (H + 2 * n_kv) * D), (qkv.shape, H, n_kv, D)
+    quantized = k_scale is not None
+    kv_dtype = k_cache.dtype
+    a_blk = _pick_blk(A, HD * k_cache.dtype.itemsize)
+    n_blocks = -(-min(attn_len or A, A) // a_blk)
+    Hp = max(-(-H // 128) * 128, 128)
+    scale = 1.0 / float(np.sqrt(D))
+
+    kernel = _make_kernel(n_blocks, a_blk, H, Hp, n_kv, D, scale,
+                          quantized, kv_dtype)
+
+    # per-slot early exit: clamp KV block maps at the last HISTORY
+    # block, max(pos[b]-1, 0) // a_blk (the current token never reads
+    # the cache) — Mosaic elides the repeated-block DMAs, pl.when
+    # skips the compute
+    if early_exit:
+        def kv_map(b, a, p):
+            last = jnp.maximum(p[b] - 1, 0) // a_blk
+            return (b, jnp.minimum(a, last), 0, 0)
+
+        def sc_map(b, a, p):
+            last = jnp.maximum(p[b] - 1, 0) // a_blk
+            return (b, jnp.minimum(a, last), 0)
+    else:
+        def kv_map(b, a, p):
+            return (b, a, 0, 0)
+
+        def sc_map(b, a, p):
+            return (b, a, 0)
+
+    row = lambda b, a, p: (b, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, qkv.shape[1]), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, cos2.astype(jnp.float32), sinm.astype(jnp.float32),
+            k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_kv, D), kv_dtype),
+        jax.ShapeDtypeStruct((B, n_kv, D), kv_dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, H, D), lambda b, a, p: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_kv, D), lambda b, a, p: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_kv, D), lambda b, a, p: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if quantized:
+        out_shape += [jax.ShapeDtypeStruct((B, n_kv), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, n_kv), row,
+                                   memory_space=pltpu.VMEM)] * 2
+
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * (A + 1) * HD * Hp,
+        bytes_accessed=(2 * B * A * HD * k_cache.dtype.itemsize
+                        + B * qkv.shape[1] * qkv.dtype.itemsize
+                        + B * H * D * 6),
+        transcendentals=B * Hp * (A + 1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((HD, Hp), jnp.bfloat16),   # Q_bd
+            pltpu.VMEM((Hp, HD), jnp.float32),    # acc
+            pltpu.VMEM((1, Hp), jnp.float32),     # running max
+            pltpu.VMEM((1, Hp), jnp.float32),     # running denom
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), *args)
+    if quantized:
+        return outs[0], outs[1], outs[2], outs[3], outs[4]
+    return outs[0], outs[1], outs[2], None, None

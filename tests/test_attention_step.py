@@ -1,0 +1,245 @@
+"""Fused attention-step kernel vs the composed XLA path.
+
+The kernel must reproduce (within accumulation tolerance): RoPE on
+q/k, the int8 KV quantization (bit-exact codes/scales), and attention
+over [history rows < pos] + the current token — i.e. exactly what
+forward() composes from apply_rope / quantize_kv / _update_cache /
+_attention per layer (models/llama.py:406-481).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cu_awq_tpu.models.llama import (_attention, _update_cache,
+                                           quantize_kv)
+from llama_cu_awq_tpu.ops.pallas.attention_step import (attention_step,
+                                                        rope_rows)
+from llama_cu_awq_tpu.ops.rope import apply_rope
+
+THETA = 10000.0
+
+
+def _xla_reference(qkv, k_cache, v_cache, pos, H, n_kv, D, quantized,
+                   ks_cache=None, vs_cache=None, attn_len=None):
+    """The einsum path, composed exactly as forward() does."""
+    B = qkv.shape[0]
+    A = attn_len or k_cache.shape[1]
+    qh, kh, vh = jnp.split(qkv[:, None, :], [H * D, (H + n_kv) * D],
+                           axis=-1)
+    qh = qh.reshape(B, 1, H, D)
+    kh = kh.reshape(B, 1, n_kv, D)
+    vh = vh.reshape(B, 1, n_kv, D)
+    positions = pos[:, None]
+    qh = apply_rope(qh, positions, THETA)
+    kh = apply_rope(kh, positions, THETA)
+    if quantized:
+        kq, ks = quantize_kv(kh)
+        vq, vs = quantize_kv(vh)
+        k_l = _update_cache(k_cache, kq, pos)
+        v_l = _update_cache(v_cache, vq, pos)
+        ks_l = _update_cache(ks_cache, ks, pos)
+        vs_l = _update_cache(vs_cache, vs, pos)
+        k_att = (k_l[:, :A].astype(jnp.bfloat16)
+                 * ks_l[:, :A, :, None].astype(jnp.bfloat16))
+        v_att = (v_l[:, :A].astype(jnp.bfloat16)
+                 * vs_l[:, :A, :, None].astype(jnp.bfloat16))
+        extras = (k_l, v_l, ks_l, vs_l, kq, vq, ks, vs)
+    else:
+        k_l = _update_cache(k_cache, kh, pos)
+        v_l = _update_cache(v_cache, vh, pos)
+        k_att, v_att = k_l[:, :A], v_l[:, :A]
+        extras = (k_l, v_l, kh, vh)
+    attn = _attention(qh, k_att, v_att, pos, jnp.bfloat16)
+    return attn.reshape(B, H, D), extras
+
+
+def _mk(B, A, H, n_kv, D, quantized, seed=0):
+    rng = np.random.default_rng(seed)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, (H + 2 * n_kv) * D)), jnp.bfloat16)
+    if quantized:
+        k_cache = jnp.asarray(
+            rng.integers(-127, 128, (B, A, n_kv, D)), jnp.int8)
+        v_cache = jnp.asarray(
+            rng.integers(-127, 128, (B, A, n_kv, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, A, n_kv)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, A, n_kv)),
+                         jnp.float32)
+        return qkv, k_cache, v_cache, ks, vs
+    k_cache = jnp.asarray(
+        rng.standard_normal((B, A, n_kv, D)), jnp.bfloat16)
+    v_cache = jnp.asarray(
+        rng.standard_normal((B, A, n_kv, D)), jnp.bfloat16)
+    return qkv, k_cache, v_cache, None, None
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("H,n_kv", [(4, 4), (8, 4)])
+def test_matches_einsum_path(quantized, H, n_kv):
+    B, A, D = 3, 256, 128
+    qkv, k_cache, v_cache, ks, vs = _mk(B, A, H, n_kv, D, quantized)
+    pos = jnp.asarray([0, 5, 255], jnp.int32)
+    cos2, sinm = rope_rows(pos, D, THETA)
+
+    attn, kn, vn, ksn, vsn = attention_step(
+        qkv, k_cache, v_cache, pos, cos2, sinm, ks, vs,
+        n_heads=H, attn_len=A, interpret=True)
+    ref, extras = _xla_reference(qkv, k_cache, v_cache, pos, H, n_kv, D,
+                                 quantized, ks, vs, attn_len=A)
+
+    if quantized:
+        kq_ref, vq_ref, ks_ref, vs_ref = extras[4:]
+        np.testing.assert_array_equal(np.asarray(kn),
+                                      np.asarray(kq_ref[:, 0]))
+        np.testing.assert_array_equal(np.asarray(vn),
+                                      np.asarray(vq_ref[:, 0]))
+        np.testing.assert_allclose(np.asarray(ksn),
+                                   np.asarray(ks_ref[:, 0]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vsn),
+                                   np.asarray(vs_ref[:, 0]), rtol=1e-6)
+    else:
+        kh_ref, vh_ref = extras[2:]
+        np.testing.assert_array_equal(
+            np.asarray(kn, np.float32), np.asarray(kh_ref[:, 0], np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(vn, np.float32), np.asarray(vh_ref[:, 0], np.float32))
+
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_early_exit_matches_static():
+    B, A, H, n_kv, D = 2, 512, 4, 4, 128
+    qkv, k_cache, v_cache, _, _ = _mk(B, A, H, n_kv, D, False, seed=1)
+    pos = jnp.asarray([3, 300], jnp.int32)
+    cos2, sinm = rope_rows(pos, D, THETA)
+    kw = dict(n_heads=H, attn_len=A, interpret=True)
+    a1, k1, v1, _, _ = attention_step(qkv, k_cache, v_cache, pos, cos2,
+                                      sinm, early_exit=True, **kw)
+    a2, k2, v2, _, _ = attention_step(qkv, k_cache, v_cache, pos, cos2,
+                                      sinm, early_exit=False, **kw)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(k1, np.float32),
+                                  np.asarray(k2, np.float32))
+
+
+def test_stale_cache_rows_ignored():
+    """Rows at/above pos[b] must not leak into the output (the engine
+    writes the current row only after the kernel)."""
+    B, A, H, n_kv, D = 2, 256, 4, 4, 128
+    qkv, k_cache, v_cache, _, _ = _mk(B, A, H, n_kv, D, False, seed=2)
+    pos = jnp.asarray([10, 128], jnp.int32)
+    cos2, sinm = rope_rows(pos, D, THETA)
+    kw = dict(n_heads=H, attn_len=A, interpret=True)
+    a1, *_ = attention_step(qkv, k_cache, v_cache, pos, cos2, sinm, **kw)
+    # poison every stale row
+    idx = jnp.arange(A)[None, :, None, None]
+    stale = idx >= pos[:, None, None, None]
+    k_p = jnp.where(stale, jnp.asarray(1e4, jnp.bfloat16), k_cache)
+    v_p = jnp.where(stale, jnp.asarray(1e4, jnp.bfloat16), v_cache)
+    a2, *_ = attention_step(qkv, k_p, v_p, pos, cos2, sinm, **kw)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pos_zero_only_current_token():
+    """At pos == 0 attention is the identity over the current v row."""
+    B, A, H, n_kv, D = 1, 128, 4, 4, 128
+    qkv, k_cache, v_cache, _, _ = _mk(B, A, H, n_kv, D, False, seed=3)
+    pos = jnp.zeros((B,), jnp.int32)
+    cos2, sinm = rope_rows(pos, D, THETA)
+    attn, kn, vn, _, _ = attention_step(qkv, k_cache, v_cache, pos, cos2,
+                                        sinm, n_heads=H, attn_len=A,
+                                        interpret=True)
+    # output = v row (softmax over one element), per head group
+    v_row = np.asarray(vn, np.float32)  # (B, n_kv, D)
+    kv_mul = H // n_kv
+    expect = np.repeat(v_row, kv_mul, axis=1)
+    np.testing.assert_allclose(np.asarray(attn), expect, atol=2e-3,
+                               rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# forward() integration
+
+def _fwd_setup(seed=3):
+    from llama_cu_awq_tpu.config import ModelConfig
+    from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
+    from llama_cu_awq_tpu.models import params_from_checkpoint
+
+    cfg = ModelConfig(dim=512, hidden_dim=1024, n_layers=2, n_heads=4,
+                      n_kv_heads=2, vocab_size=512, seq_len=256)
+    params = params_from_checkpoint(random_checkpoint(cfg, seed=seed),
+                                    param_dtype=jnp.float32)
+    return cfg, params
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_forward_with_fused_step_impl(quant):
+    """Full decode step with attn_impl='fused_step' (interpret) vs the
+    einsum path: logits within tolerance, quantized cache rows
+    bit-identical (same rope -> bf16 -> quantize pipeline)."""
+    from llama_cu_awq_tpu.models import forward, init_kv_cache
+
+    cfg, params = _fwd_setup()
+    tok = jnp.asarray([[5], [9], [101]])
+    pos = jnp.asarray([3, 0, 7], jnp.int32)
+
+    c1 = init_kv_cache(cfg, 3, 128, quantized=quant)
+    l1, c1o = forward(params, cfg, tok, pos, c1, attn_len=128,
+                      matmul_impl="dequant")
+    c2 = init_kv_cache(cfg, 3, 128, quantized=quant)
+    l2, c2o = forward(params, cfg, tok, pos, c2, attn_len=128,
+                      matmul_impl="dequant", attn_impl="fused_step")
+    a, b = np.asarray(l1), np.asarray(l2)
+    assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2
+    # layer 0 sees bit-identical inputs on both paths, so its cache
+    # rows must agree to 1 bf16 ulp (rope FMA contraction differs
+    # between the fused XLA graph and the kernel -> +-1 int8 code
+    # flips near .5 boundaries). Later layers legitimately diverge at
+    # ~1e-3 (each path's attention output differs within tolerance)
+    # and are covered by the logits check above.
+    if quant:
+        dk = np.abs(np.asarray(c1o.k[0], np.int32)
+                    - np.asarray(c2o.k[0], np.int32))
+        dv = np.abs(np.asarray(c1o.v[0], np.int32)
+                    - np.asarray(c2o.v[0], np.int32))
+        assert dk.max() <= 1 and dv.max() <= 1
+        np.testing.assert_allclose(np.asarray(c1o.k_scale[0]),
+                                   np.asarray(c2o.k_scale[0]),
+                                   rtol=1e-5)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(c1o.k[0], np.float32),
+            np.asarray(c2o.k[0], np.float32), atol=2e-2)
+
+
+def test_fused_step_multi_decode_consistency():
+    """Several consecutive decode steps: the kernel must correctly read
+    back rows it wrote in earlier steps (cross-step cache round-trip)."""
+    from llama_cu_awq_tpu.models import forward, init_kv_cache
+
+    cfg, params = _fwd_setup(seed=11)
+    B = 2
+    tok0 = jnp.asarray([[7], [42]])
+    c1 = init_kv_cache(cfg, B, 128)
+    c2 = init_kv_cache(cfg, B, 128)
+    toks1 = toks2 = tok0
+    for step in range(4):
+        pos = jnp.full((B,), step, jnp.int32)
+        l1, c1 = forward(params, cfg, toks1, pos, c1, attn_len=128,
+                         matmul_impl="dequant")
+        l2, c2 = forward(params, cfg, toks2, pos, c2, attn_len=128,
+                         matmul_impl="dequant", attn_impl="fused_step")
+        toks1 = jnp.argmax(l1, axis=-1)[:, None]
+        toks2 = jnp.argmax(l2, axis=-1)[:, None]
+        a, b = np.asarray(l1), np.asarray(l2)
+        assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2, step
+        # greedy streams must agree for the next feed (near-tie flips
+        # would make the comparison diverge, not fail correctness; the
+        # toy logits are well-separated in practice)
+        assert (np.asarray(toks1) == np.asarray(toks2)).all(), step

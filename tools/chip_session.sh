@@ -29,6 +29,14 @@ run bench_batched_static python -u bench.py --mode batch --slots 32 \
 # 3. batch-1 with the batched kernel (attention exposure lever)
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 
+# 3b. batch-1 with the fused attention-step kernel (split+rope+quant+
+# attention in one kernel; ops/pallas/attention_step.py)
+run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
+
+# 3c. serving with the fused step kernel
+run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl fused_step --repeats 3
+
 # 4. batch-1 baseline re-measure (same chip phase for comparison)
 run bench_b1_base python -u bench.py --repeats 4
 
@@ -40,6 +48,8 @@ run bench_2k python -u bench.py --max-seq 2048 --prompt-len 1664 \
     --steps 256 --repeats 3
 run bench_2k_batched python -u bench.py --max-seq 2048 \
     --prompt-len 1664 --steps 256 --repeats 3 --attn-impl batched
+run bench_2k_fstep python -u bench.py --max-seq 2048 \
+    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl fused_step
 run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
     --steps 256 --repeats 3 --attn-impl batched
 

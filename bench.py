@@ -61,11 +61,19 @@ def main():
                     default=None, choices=[8, 4],
                     help="quantize the lm_head (8: per-row int8, "
                          "4: w4-g128 via the int4 kernel)")
+    ap.add_argument("--chain", action="store_true",
+                    help="single-launch o-proj+FFN chain kernel "
+                         "(ops/pallas/int4_chain.py)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel over N chips (mesh + shard_map; "
                          "needs N devices — the multi-chip benchmark "
                          "config, BASELINE.json '13B tensor-sharded')")
     args = ap.parse_args()
+
+    if args.chain:
+        import os
+
+        os.environ["LLAMA_TPU_CHAIN"] = "1"
 
     import jax
 

@@ -353,7 +353,7 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
 
 
 def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
-                    act_dtype):
+                    act_dtype, chain=False):
     """o-proj + residual + FFN for one layer; returns (x, next rms ss).
 
     fused: o-proj + residual + next rms scale in one kernel, then
@@ -362,7 +362,24 @@ def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
     ffn_matvec_silu_kernel, gpu_kernels.h:213-275). Unfused: the same
     math as separate ops, with psum over the tp axis after the
     row-parallel o/down projections (llama2_q4.cu:323).
+    chain: run the whole fused chain as ONE Pallas launch
+    (ops/pallas/int4_chain.py) so the layer's o-proj+FFN weights
+    stream through a single uninterrupted DMA pipeline.
     """
+    if fused and chain:
+        from llama_cu_awq_tpu.ops.linear import _on_tpu
+        from llama_cu_awq_tpu.ops.pallas.int4_chain import (
+            ffn_chain, ffn_chain_supported)
+
+        m = 1
+        for s in attn.shape[:-1]:
+            m *= s
+        if ffn_chain_supported(layer.wo, layer.w_gate_up, layer.w_down,
+                               m):
+            return ffn_chain(attn, x, layer.ffn_norm, layer.wo,
+                             layer.w_gate_up, layer.w_down,
+                             eps=RMS_EPS, out_dtype=act_dtype,
+                             interpret=not _on_tpu())
     if fused:
         x, ss = qmatmul_fused(attn, layer.wo, matmul_impl,
                               residual=x, emit_ss_eps=RMS_EPS,
@@ -396,7 +413,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             attn_impl: str | None = None,
             logits_all: bool = False, no_logits: bool = False,
             tp_axis: str | None = None, tp_size: int = 1,
-            fused: bool | None = None):
+            fused: bool | None = None, chain: bool | None = None):
     """Run the network over a token block.
 
     tokens: (B, T) int32; pos: (B,) absolute position of tokens[:, 0];
@@ -427,6 +444,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         fused = (tp_axis is None and bool(params.layers)
                  and isinstance(params.layers[0].wqkv, QTensorTPU)
                  and resolved_impl(matmul_impl) == "pallas")
+    if chain is None:  # opt-in single-launch o-proj+FFN chain kernel
+        import os
+
+        chain = os.environ.get("LLAMA_TPU_CHAIN", "0") == "1"
 
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
@@ -490,7 +511,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                     _update_cache(cache.v_scale[l], vsn[:, None], pos))
             attn = attn_k.reshape(B, 1, H * D).astype(act_dtype)
             x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                    matmul_impl, act_dtype)
+                                    matmul_impl, act_dtype, chain)
             continue
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
@@ -561,7 +582,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)
         x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                matmul_impl, act_dtype)
+                                matmul_impl, act_dtype, chain)
 
     if no_logits:
         # teacher-forced prompt step: only the cache matters (the

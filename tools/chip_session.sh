@@ -37,6 +37,12 @@ run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
 run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
     --requests 64 --kv-quant --attn-impl fused_step --repeats 3
 
+# 3d. single-launch o-proj+FFN chain kernel, alone and with fused_step
+# (2 Pallas launches per layer total)
+run bench_b1_chain python -u bench.py --chain --repeats 4
+run bench_b1_chain_fstep python -u bench.py --chain \
+    --attn-impl fused_step --repeats 4
+
 # 4. batch-1 baseline re-measure (same chip phase for comparison)
 run bench_b1_base python -u bench.py --repeats 4
 

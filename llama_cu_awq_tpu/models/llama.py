@@ -487,9 +487,36 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # lax.scan over stacked tensors would materialize a dynamic-slice of
     # every layer's weights each step — ~2x HBM traffic)
     new_k, new_v, new_ks, new_vs = [], [], [], []
+    n_layers = len(params.layers)
+    qkv_pre = None  # produced by the previous layer's 4-stage chain
+
+    def post(attn, x, ss, layer, nxt):
+        """Dispatch the inter-attention chain; returns (x, ss,
+        next-qkv-or-None). With chain enabled and a next layer whose
+        shapes fit, the 4-stage kernel also emits that layer's qkv
+        projection (ops/pallas/int4_chain.py stage 3)."""
+        if fused and chain and nxt is not None:
+            from llama_cu_awq_tpu.ops.linear import _on_tpu
+            from llama_cu_awq_tpu.ops.pallas.int4_chain import (
+                ffn_chain, ffn_chain_supported)
+
+            if ffn_chain_supported(layer.wo, layer.w_gate_up,
+                                   layer.w_down, B * T, nxt.wqkv):
+                return ffn_chain(
+                    attn, x, layer.ffn_norm, layer.wo,
+                    layer.w_gate_up, layer.w_down, eps=RMS_EPS,
+                    wqkv_next=nxt.wqkv, attn_norm_next=nxt.attn_norm,
+                    out_dtype=act_dtype, interpret=not _on_tpu())
+        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                matmul_impl, act_dtype, chain)
+        return x, ss, None
+
     for l, layer in enumerate(params.layers):
+        nxt = params.layers[l + 1] if l + 1 < n_layers else None
         # --- attention block ---
-        if fused:
+        if qkv_pre is not None:
+            qkv, qkv_pre = qkv_pre, None
+        elif fused:
             qkv, _ = qmatmul_fused(x, layer.wqkv, matmul_impl,
                                    prescale=(ss, layer.attn_norm),
                                    out_dtype=act_dtype)
@@ -510,8 +537,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 new_vs.append(
                     _update_cache(cache.v_scale[l], vsn[:, None], pos))
             attn = attn_k.reshape(B, 1, H * D).astype(act_dtype)
-            x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                    matmul_impl, act_dtype, chain)
+            x, ss, qkv_pre = post(attn, x, ss, layer, nxt)
             continue
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
@@ -581,8 +607,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)
-        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                matmul_impl, act_dtype, chain)
+        x, ss, qkv_pre = post(attn, x, ss, layer, nxt)
 
     if no_logits:
         # teacher-forced prompt step: only the cache matters (the

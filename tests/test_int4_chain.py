@@ -102,3 +102,37 @@ def test_forward_with_chain(rng):
         outs.append(np.asarray(lo))
     a, b = outs
     assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2
+
+
+@pytest.mark.parametrize("m", [1, 3])
+def test_chain4_qkv_stage(rng, m):
+    """4-stage chain (with the next layer's qkv) vs the composition +
+    standalone fused qkv kernel."""
+    dim, hidden, qkv_dim = 512, 1024, 1024
+    wo = make_qt(rng, dim, dim)
+    w_gate_up = make_qt(rng, dim, 2 * hidden)
+    w_down = make_qt(rng, hidden, dim)
+    wqkv = make_qt(rng, dim, qkv_dim)
+    assert ffn_chain_supported(wo, w_gate_up, w_down, m, wqkv)
+
+    attn = jnp.asarray(rng.normal(size=(m, dim)), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(m, dim)), jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(dim,)), jnp.float32)
+    nw2 = jnp.asarray(rng.normal(size=(dim,)), jnp.float32)
+
+    want_x, want_ss = _composed(attn, x, nw, wo, w_gate_up, w_down,
+                                "pallas")
+    want_qkv, _ = qmatmul_fused(want_x, wqkv, "pallas",
+                                prescale=(want_ss, nw2),
+                                out_dtype=jnp.bfloat16)
+    got_x, got_ss, got_qkv = ffn_chain(
+        attn, x, nw, wo, w_gate_up, w_down, eps=RMS_EPS,
+        wqkv_next=wqkv, attn_norm_next=nw2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_x, np.float32),
+                               np.asarray(want_x, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got_ss), np.asarray(want_ss),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_qkv, np.float32),
+                               np.asarray(want_qkv, np.float32),
+                               rtol=4e-2, atol=4e-2)

@@ -103,6 +103,27 @@ def main():
                     iters=args.iters)
         report("einsum int8-dequant (engine fallback)", dt, kv_bytes)
 
+        # fused attention-step kernel (split+rope+quantize inside)
+        from llama_cu_awq_tpu.ops.pallas.attention_step import (
+            attention_step, rope_rows)
+
+        qkv = jnp.asarray(
+            rng.standard_normal((B, (H + 2 * KV) * D)), jnp.bfloat16)
+        cos2, sinm = rope_rows(posv, D, 10000.0)
+        dt = timeit(
+            lambda qq, kk, vv, pp, c2, sm, kss, vss: attention_step(
+                qq, kk, vv, pp, c2, sm, kss, vss, n_heads=H,
+                interpret=interp)[0],
+            qkv, kq, vq, posv, cos2, sinm, ks, vs, iters=args.iters)
+        report("fused_step int8-native early_exit=True", dt,
+               kv_bytes * frac)
+        dt = timeit(
+            lambda qq, kk, vv, pp, c2, sm: attention_step(
+                qq, kk, vv, pp, c2, sm, n_heads=H,
+                interpret=interp)[0],
+            qkv, k, v, posv, cos2, sinm, iters=args.iters)
+        report("fused_step bf16 early_exit=True", dt, 2 * kv_bytes * frac)
+
 
 if __name__ == "__main__":
     sys.exit(main())

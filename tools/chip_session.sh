@@ -8,7 +8,16 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/chip_session
 mkdir -p $LOG
 
+# Stop dispatching new items near the round's end so the driver's own
+# bench.py run gets the chip to itself (round 2 ends ~epoch 1787009400;
+# guard 2h before; override with CHIP_SESSION_DEADLINE).
+DEADLINE=${CHIP_SESSION_DEADLINE:-1787002200}
+
 run() {  # run <name> <cmd...>
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+        echo "=== skipping $1: past deadline ===" | tee -a $LOG/session.log
+        return 0
+    fi
     echo "=== $1: $(date +%H:%M:%S) ===" | tee -a $LOG/session.log
     "${@:2}" > $LOG/$1.log 2>&1
     echo "--- $1 exit $? at $(date +%H:%M:%S)" | tee -a $LOG/session.log

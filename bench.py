@@ -49,7 +49,7 @@ def main():
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
     ap.add_argument("--attn-impl", default=None,
                     choices=["flash", "batched", "batched_static",
-                             "fused_step"],
+                             "fused_step", "mono"],
                     help="Pallas decode-attention kernel (flash: long-"
                          "context blockwise; batched: serving shapes, "
                          "int8-KV-native; fused_step: whole attention "

@@ -51,7 +51,7 @@ def build_argparser() -> argparse.ArgumentParser:
                          "and bandwidth; near-lossless)")
     ap.add_argument("--attn-impl", default=None,
                     choices=["flash", "batched", "batched_static",
-                             "fused_step"],
+                             "fused_step", "mono"],
                     help="Pallas decode-attention kernel: flash (long-"
                          "context blockwise), batched (serving "
                          "shapes, int8-KV-native), or fused_step "

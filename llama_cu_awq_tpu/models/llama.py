@@ -464,9 +464,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # (the current token's k/v enters the kernel from the qkv row, so
     # the write->read serialization disappears)
     full_A0 = cache.k[0].shape[1] if cache.k else A
-    fstep = (T == 1 and attn_impl == "fused_step"
-             and cfg.head_dim % 128 == 0 and full_A0 % 128 == 0
-             and H % KV == 0)
+    shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
+                 and full_A0 % 128 == 0 and H % KV == 0)
+    # attn_impl "mono": the ENTIRE decoder layer (attention + all four
+    # matmuls) as one Pallas launch (int4_chain.mono_layer); implies
+    # the fused_step + chain design, falls back to fused_step when the
+    # shapes/VMEM budget don't fit
+    mono = attn_impl == "mono" and shapes_ok and fused
+    if mono:
+        from llama_cu_awq_tpu.ops.pallas.int4_chain import mono_supported
+
+        mono = len(params.layers) > 0 and mono_supported(
+            params.layers[0].wo, params.layers[0].w_gate_up,
+            params.layers[0].w_down, B * T, cfg.head_dim, full_A0,
+            H, KV)
+    if attn_impl == "mono" and not mono:
+        attn_impl = "fused_step"
+    fstep = (attn_impl == "fused_step" and shapes_ok)
     if attn_impl == "fused_step" and T == 1 and not fstep:
         import warnings
 
@@ -475,7 +489,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
             f"cache len={full_A0}); falling back to the einsum path",
             stacklevel=2)
-    if fstep:
+    if fstep or mono:
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.ops.pallas.attention_step import (
             attention_step, rope_rows)
@@ -523,6 +537,37 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             xb = rmsnorm(x, layer.attn_norm)
             qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
+        if mono:
+            from llama_cu_awq_tpu.ops.pallas.int4_chain import (
+                mono_layer, mono_supported)
+
+            w_nxt = nxt.wqkv if (nxt is not None and mono_supported(
+                layer.wo, layer.w_gate_up, layer.w_down, B,
+                cfg.head_dim, full_A0, H, KV, nxt.wqkv)) else None
+            outs = mono_layer(
+                qkv[:, 0], x[:, 0], layer.ffn_norm, layer.wo,
+                layer.w_gate_up, layer.w_down, cache.k[l], cache.v[l],
+                pos, cos2, sinm,
+                cache.k_scale[l] if cache.quantized else None,
+                cache.v_scale[l] if cache.quantized else None,
+                n_heads=H, attn_len=A, eps=RMS_EPS,
+                wqkv_next=w_nxt,
+                attn_norm_next=nxt.attn_norm if w_nxt is not None
+                else None,
+                out_dtype=act_dtype, interpret=not _on_tpu())
+            x_out, ss2, kn, vn, ksn, vsn = outs[:6]
+            new_k.append(_update_cache(cache.k[l], kn[:, None], pos))
+            new_v.append(_update_cache(cache.v[l], vn[:, None], pos))
+            if cache.quantized:
+                new_ks.append(
+                    _update_cache(cache.k_scale[l], ksn[:, None], pos))
+                new_vs.append(
+                    _update_cache(cache.v_scale[l], vsn[:, None], pos))
+            x = x_out[:, None, :]
+            ss = ss2[:, None, :]
+            if w_nxt is not None:
+                qkv_pre = outs[6][:, None, :]
+            continue
         if fstep:
             attn_k, kn, vn, ksn, vsn = attention_step(
                 qkv[:, 0], cache.k[l], cache.v[l], pos, cos2, sinm,

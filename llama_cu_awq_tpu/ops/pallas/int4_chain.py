@@ -62,15 +62,32 @@ def _stage_plan(qt: QTensorTPU):
                 n_pad=qt.n_pad, d_pad=qt.d_pad)
 
 
+_NEG = -1e30
+
+
 def _make_chain_kernel(m, plans, offs, dim, hidden, gu_pad, eps,
-                       out_dtype, has_qkv):
+                       out_dtype, has_qkv, attn_cfg=None):
+    """attn_cfg (mono-layer mode): the kernel additionally runs the
+    attention-step stages (attention_step.py's body) over grid steps
+    [0, offs[0]) and stage 0 consumes the in-VMEM attention rows —
+    the WHOLE decoder layer becomes one launch."""
     p0, p1, p2 = plans[:3]
-    o1, o2, o3 = offs[1], offs[2], offs[3]
+    o0, o1, o2, o3 = offs[0], offs[1], offs[2], offs[3]
     total = offs[-1]
 
     def _kernel(*refs):
         it = iter(refs)
-        attn_ref = next(it)
+        if attn_cfg is None:
+            attn_ref = next(it)
+        else:
+            pos_ref = next(it)
+            qkvin_ref = next(it)
+            cos_ref = next(it)
+            sin_ref = next(it)
+            k_ref = next(it)
+            v_ref = next(it)
+            if attn_cfg["quantized"]:
+                ks_ref, vs_ref = next(it), next(it)
         res_ref = next(it)
         nw_ref = next(it)
         qw0, mt0 = next(it), next(it)
@@ -82,13 +99,167 @@ def _make_chain_kernel(m, plans, offs, dim, hidden, gu_pad, eps,
         xo_ref = next(it)
         sso_ref = next(it)
         qkv_ref = next(it) if has_qkv else None
+        if attn_cfg is not None:
+            kn_ref = next(it)
+            vn_ref = next(it)
+            if attn_cfg["quantized"]:
+                ksn_ref, vsn_ref = next(it), next(it)
         acc_ref = next(it)
         x1_ref = next(it)
         gu_ref = next(it)
         ss1_ref = next(it)
         xcur_ref = next(it)
+        if attn_cfg is not None:
+            qbd_ref = next(it)
+            aacc_ref = next(it)
+            am_ref = next(it)
+            al_ref = next(it)
+            arow_ref = next(it)
 
         gg = pl.program_id(0)
+
+        # ------------- attention prefix (mono-layer mode) -------------
+        if attn_cfg is not None:
+            ac = attn_cfg
+            n_blocks, a_blk = ac["n_blocks"], ac["a_blk"]
+            H, Hp, n_kv, D = ac["H"], ac["Hp"], ac["n_kv"], ac["D"]
+            kv_mul, HD, half = H // n_kv, ac["n_kv"] * ac["D"], ac["D"] // 2
+            scale, quantized = ac["scale"], ac["quantized"]
+            kv_dtype = ac["kv_dtype"]
+            b = gg // n_blocks
+            a = gg % n_blocks
+            brow = pl.ds(b, 1)
+
+            def _expand_mat():
+                kv_idx = jax.lax.broadcasted_iota(jnp.int32, (n_kv, Hp), 0)
+                col_kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_kv, Hp), 1) // kv_mul
+                return jnp.where(kv_idx == col_kv, 1.0, 0.0)
+
+            def online_update(k_blk, v_blk, ks_row, vs_row, valid):
+                raw = jax.lax.dot_general(
+                    k_blk, qbd_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                expand = None
+                if quantized:
+                    ks = ks_row
+                    if kv_mul > 1 or Hp != n_kv:
+                        expand = _expand_mat()
+                        ks = jax.lax.dot_general(
+                            ks, expand, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    raw = raw * ks
+                s = jnp.where(valid, raw * scale, _NEG)
+                m_old = am_ref[:]
+                m_new = jnp.maximum(m_old,
+                                    jnp.max(s, axis=0, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+                al_ref[:] = al_ref[:] * alpha + jnp.sum(
+                    p, axis=0, keepdims=True)
+                am_ref[:] = m_new
+                if quantized:
+                    vs = vs_row
+                    if expand is not None:
+                        vs = jax.lax.dot_general(
+                            vs, expand, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    p = p * vs
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v_blk,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                aacc_ref[:] = (aacc_ref[:] * jnp.swapaxes(alpha, 0, 1)
+                               + pv)
+
+            @pl.when((gg < o0) & (a == 0))
+            def _():
+                cos = cos_ref[brow, :]
+                sin = sin_ref[brow, :]
+
+                def rope(x):
+                    return x * cos + pltpu.roll(x, half, 1) * sin
+
+                qkvb = qkvin_ref[brow, :]
+                q = qkvb[:, :H * D].reshape(H, D).astype(jnp.float32)
+                q_bf = rope(q).astype(jnp.bfloat16)
+                k = qkvb[:, H * D:(H + n_kv) * D].reshape(
+                    n_kv, D).astype(jnp.float32)
+                k_bf = rope(k).astype(jnp.bfloat16)
+                v_bf = qkvb[:, (H + n_kv) * D:].reshape(
+                    n_kv, D).astype(jnp.bfloat16)
+
+                qt = jnp.swapaxes(q_bf, 0, 1)
+                if Hp != H:
+                    qt = jnp.pad(qt, ((0, 0), (0, Hp - H)))
+                tiled = jnp.broadcast_to(qt[None],
+                                         (n_kv, D, Hp)).reshape(HD, Hp)
+                r_blk = jax.lax.broadcasted_iota(
+                    jnp.int32, (HD, Hp), 0) // D
+                col_kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (HD, Hp), 1) // kv_mul
+                qbd_ref[:] = jnp.where(r_blk == col_kv, tiled, 0)
+                aacc_ref[:] = jnp.zeros_like(aacc_ref)
+                am_ref[:] = jnp.full_like(am_ref, _NEG)
+                al_ref[:] = jnp.zeros_like(al_ref)
+
+                if quantized:
+                    kf = k_bf.astype(jnp.float32)
+                    vf = v_bf.astype(jnp.float32)
+                    ks_new = jnp.maximum(
+                        jnp.max(jnp.abs(kf), axis=1, keepdims=True)
+                        / 127.0, 1e-10)
+                    vs_new = jnp.maximum(
+                        jnp.max(jnp.abs(vf), axis=1, keepdims=True)
+                        / 127.0, 1e-10)
+                    kq = jnp.round(kf / ks_new)
+                    vq = jnp.round(vf / vs_new)
+                    kn_ref[brow] = kq.astype(kv_dtype).reshape(
+                        1, n_kv, D)
+                    vn_ref[brow] = vq.astype(kv_dtype).reshape(
+                        1, n_kv, D)
+                    ksn_ref[brow] = jnp.swapaxes(ks_new, 0, 1)
+                    vsn_ref[brow] = jnp.swapaxes(vs_new, 0, 1)
+                    online_update(
+                        kq.astype(jnp.bfloat16).reshape(1, HD),
+                        vq.astype(jnp.bfloat16).reshape(1, HD),
+                        jnp.swapaxes(ks_new, 0, 1),
+                        jnp.swapaxes(vs_new, 0, 1),
+                        jnp.full((1, Hp), True))
+                else:
+                    kn_ref[brow] = k_bf.astype(kv_dtype).reshape(
+                        1, n_kv, D)
+                    vn_ref[brow] = v_bf.astype(kv_dtype).reshape(
+                        1, n_kv, D)
+                    online_update(k_bf.reshape(1, HD),
+                                  v_bf.reshape(1, HD), None, None,
+                                  jnp.full((1, Hp), True))
+
+            @pl.when((gg < o0) & (a * a_blk < pos_ref[b]))
+            def _():
+                k_blk = k_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+                v_blk = v_ref[0].reshape(a_blk, HD).astype(jnp.bfloat16)
+                row = a * a_blk + jax.lax.broadcasted_iota(
+                    jnp.int32, (a_blk, Hp), 0)
+                online_update(
+                    k_blk, v_blk,
+                    ks_ref[0] if quantized else None,
+                    vs_ref[0] if quantized else None,
+                    row < pos_ref[b])
+
+            @pl.when((gg < o0) & (a == n_blocks - 1))
+            def _():
+                acc3 = aacc_ref[:].reshape(Hp, n_kv, D)
+                kv_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, n_kv, 1), 1)
+                h_kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, n_kv, 1), 0) // kv_mul
+                out = jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0),
+                              axis=1)
+                l_rows = jnp.swapaxes(al_ref[:], 0, 1)
+                arow_ref[brow] = ((out / l_rows)[:H]
+                                  .reshape(1, H * D)
+                                  .astype(jnp.bfloat16))
 
         def accum_block(x_get, qw_ref, meta_ref, sl, chunks):
             """x_get(g) -> (m, 128) bf16 chunk group g of this block."""
@@ -130,19 +301,42 @@ def _make_chain_kernel(m, plans, offs, dim, hidden, gu_pad, eps,
                             ).astype(jnp.bfloat16)
 
         # ---------------- stage 0: wo + residual ----------------
-        @pl.when(gg < o1)
+        @pl.when((gg >= o0) & (gg < o1))
         def _():
-            j = gg // p0["d_tiles"]
-            i = gg % p0["d_tiles"]
+            gl = gg - o0
+            j = gl // p0["d_tiles"]
+            i = gl % p0["d_tiles"]
             sl = pl.ds(i * p0["tile_d"], p0["tile_d"])
 
             @pl.when(j == 0)
             def _():
                 acc_ref[:, sl] = jnp.zeros((m, p0["tile_d"]), jnp.float32)
 
-            accum_block(lambda g: attn_ref[:, g * 128:(g + 1) * 128]
-                        .astype(jnp.bfloat16), qw0, mt0, sl,
-                        p0["chunks"])
+            if attn_cfg is None:
+                accum_block(lambda g: attn_ref[:, g * 128:(g + 1) * 128]
+                            .astype(jnp.bfloat16), qw0, mt0, sl,
+                            p0["chunks"])
+            else:
+                # x = the attention rows left in VMEM by the prefix
+                cc0 = p0["chunks"] * PLANAR_BLOCK
+
+                @pl.when(i == 0)
+                def _():
+                    for jv in range(p0["n_tiles"]):
+                        @pl.when(j == jv)
+                        def _(jv=jv):
+                            for g in range(p0["chunks"] * 4):
+                                col = jv * cc0 + g * 128
+                                dst = pl.ds(g * 128, 128)
+                                if col >= dim:
+                                    xcur_ref[:, dst] = jnp.zeros(
+                                        (m, 128), jnp.bfloat16)
+                                else:
+                                    xcur_ref[:, dst] = arow_ref[
+                                        :, col:col + 128]
+
+                accum_block(lambda g: xcur_ref[:, g * 128:(g + 1) * 128],
+                            qw0, mt0, sl, p0["chunks"])
 
             @pl.when(gg == o1 - 1)
             def _():
@@ -412,3 +606,215 @@ def ffn_chain(attn: jax.Array, x_res: jax.Array, ffn_norm: jax.Array,
     if wqkv_next.d_pad != wqkv_next.n_out:
         qkv = qkv[:, : wqkv_next.n_out]
     return x_out, ss, qkv.reshape(*lead, wqkv_next.n_out)
+
+
+# ---------------------------------------------------------------------------
+# mono-layer: attention prefix + the matmul chain in ONE launch
+
+def mono_supported(wo, w_gate_up, w_down, m, head_dim, attn_len,
+                   n_heads, n_kv, wqkv_next=None) -> bool:
+    if not ffn_chain_supported(wo, w_gate_up, w_down, m, wqkv_next):
+        return False
+    return (head_dim % 128 == 0 and attn_len % 128 == 0
+            and n_heads % n_kv == 0
+            and n_heads * head_dim == wo.n_in)
+
+
+def mono_layer(qkv, x_res, ffn_norm, wo, w_gate_up, w_down,
+               k_cache, v_cache, pos, cos2, sinm,
+               k_scale=None, v_scale=None, *, n_heads: int,
+               attn_len: int | None = None, eps: float,
+               wqkv_next=None, attn_norm_next=None,
+               out_dtype=jnp.bfloat16, interpret: bool = False):
+    """One FULL decoder layer (minus the cache row-scatters) in one
+    Pallas launch: the attention-step stages (see attention_step.py)
+    run over the first B*n_blocks grid steps and leave the attention
+    rows in VMEM; the wo/gate_up/down(/next-qkv) chain stages then
+    stream the layer's weights over them.
+
+    qkv: (B, (H + 2*Hkv) * D) — this layer's projection row (from the
+    previous layer's mono launch, stage 3). Returns (x_out (B, dim),
+    ss (B, 1), k_new (B, Hkv, D), v_new, k_s, v_s[, qkv_next]) — k_s/
+    v_s None unless the cache is quantized.
+    """
+    import numpy as np
+
+    from llama_cu_awq_tpu.ops.pallas.batched_attention import _pick_blk
+
+    B, A, n_kv, D = k_cache.shape
+    H = n_heads
+    HD = n_kv * D
+    dim = wo.n_out
+    hidden = w_gate_up.n_out // 2
+    has_qkv = wqkv_next is not None
+    quantized = k_scale is not None
+    kv_dtype = k_cache.dtype
+    assert qkv.shape == (B, (H + 2 * n_kv) * D)
+    assert H * D == wo.n_in and wo.d_pad == dim
+    assert x_res.shape == (B, dim)
+    assert has_qkv == (attn_norm_next is not None)
+
+    a_blk = _pick_blk(A, HD * k_cache.dtype.itemsize)
+    n_blocks = -(-min(attn_len or A, A) // a_blk)
+    Hp = max(-(-H // 128) * 128, 128)
+    attn_cfg = dict(n_blocks=n_blocks, a_blk=a_blk, H=H, Hp=Hp,
+                    n_kv=n_kv, D=D, scale=1.0 / float(np.sqrt(D)),
+                    quantized=quantized, kv_dtype=kv_dtype)
+
+    qts = [wo, w_gate_up, w_down] + ([wqkv_next] if has_qkv else [])
+    plans = [_stage_plan(qt) for qt in qts]
+    offs = [B * n_blocks]
+    for p in plans:
+        offs.append(offs[-1] + p["steps"])
+    gu_pad = w_gate_up.d_pad
+
+    kernel = _make_chain_kernel(B, plans, offs, dim, hidden, gu_pad,
+                                eps, jnp.dtype(out_dtype), has_qkv,
+                                attn_cfg)
+
+    attn_steps = offs[0]
+
+    def stage_map(s):
+        p, off = plans[s], offs[s]
+
+        def _map(g, pf):
+            gl = jnp.clip(g - off, 0, p["steps"] - 1)
+            return (gl // p["d_tiles"], gl % p["d_tiles"])
+
+        return _map
+
+    def kv_map(g, pf):
+        s = jnp.minimum(g, attn_steps - 1)
+        b = s // n_blocks
+        a = s % n_blocks
+        last = jnp.maximum(pf[b] - 1, 0) // a_blk
+        return (b, jnp.minimum(a, last), 0, 0)
+
+    def sc_map(g, pf):
+        b, a, _, _ = kv_map(g, pf)
+        return (b, a, 0)
+
+    full_row = lambda g, pf: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((B, qkv.shape[1]), full_row,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, D), full_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, D), full_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv, D), kv_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qkv.astype(jnp.bfloat16), cos2.astype(jnp.float32),
+            sinm.astype(jnp.float32), k_cache, v_cache]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, a_blk, n_kv), sc_map,
+                                  memory_space=pltpu.VMEM)] * 2
+        args += [k_scale, v_scale]
+    in_specs += [
+        pl.BlockSpec((B, dim), full_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dim), full_row, memory_space=pltpu.VMEM),
+    ]
+    args += [x_res, ffn_norm.reshape(1, dim).astype(jnp.float32)]
+    for s in range(3):
+        p = plans[s]
+        in_specs += [
+            pl.BlockSpec((p["chunks"] * 64, p["tile_d"]), stage_map(s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p["chunks"] * 8, p["tile_d"]), stage_map(s),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [qts[s].qw, qts[s].meta]
+    if has_qkv:
+        in_specs.append(pl.BlockSpec((1, dim), full_row,
+                                     memory_space=pltpu.VMEM))
+        args.append(attn_norm_next.reshape(1, dim).astype(jnp.float32))
+        p = plans[3]
+        in_specs += [
+            pl.BlockSpec((p["chunks"] * 64, p["tile_d"]), stage_map(3),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p["chunks"] * 8, p["tile_d"]), stage_map(3),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [wqkv_next.qw, wqkv_next.meta]
+
+    out_specs = [
+        pl.BlockSpec((B, dim), full_row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 1), full_row, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, dim), jnp.dtype(out_dtype)),
+        jax.ShapeDtypeStruct((B, 1), jnp.float32),
+    ]
+    if has_qkv:
+        qkv_pad = plans[3]["d_pad"]
+        out_specs.append(pl.BlockSpec((B, qkv_pad), full_row,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, qkv_pad),
+                                              jnp.dtype(out_dtype)))
+    out_specs += [
+        pl.BlockSpec((B, n_kv, D), lambda g, pf: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, n_kv, D), lambda g, pf: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape += [jax.ShapeDtypeStruct((B, n_kv, D), kv_dtype)] * 2
+    if quantized:
+        out_specs += [pl.BlockSpec((B, n_kv), full_row,
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((B, n_kv), jnp.float32)] * 2
+
+    acc_cols = max(p["d_pad"] for p in plans)
+    xcur_cols = max(p["chunks"] * PLANAR_BLOCK for p in plans)
+    bytes_total = (sum(qt.qw.size * 4 + qt.meta.size * 2 for qt in qts)
+                   + 2 * B * A * HD * k_cache.dtype.itemsize
+                   + B * (qkv.shape[1] + 3 * dim) * 4)
+    cost = pl.CostEstimate(
+        flops=(2 * B * sum(p["n_pad"] * p["d_pad"] for p in plans)
+               + 2 * 2 * B * (A + 1) * HD * Hp),
+        bytes_accessed=bytes_total,
+        transcendentals=B * (hidden + Hp * (A + 1)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(offs[-1],),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((B, acc_cols), jnp.float32),       # acc
+            pltpu.VMEM((B, dim), jnp.dtype(out_dtype)),   # x1
+            pltpu.VMEM((B, gu_pad), jnp.bfloat16),        # gate_up row
+            pltpu.VMEM((B, 1), jnp.float32),              # ss1
+            pltpu.VMEM((B, xcur_cols), jnp.bfloat16),     # current x
+            pltpu.VMEM((HD, Hp), jnp.bfloat16),           # Q_bd
+            pltpu.VMEM((Hp, HD), jnp.float32),            # attn acc
+            pltpu.VMEM((1, Hp), jnp.float32),             # running max
+            pltpu.VMEM((1, Hp), jnp.float32),             # running denom
+            pltpu.VMEM((B, H * D), jnp.bfloat16),         # attention rows
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), *args)
+
+    it = iter(outs)
+    x_out = next(it)
+    ss = next(it)
+    qkv_next = None
+    if has_qkv:
+        qkv_next = next(it)
+        if wqkv_next.d_pad != wqkv_next.n_out:
+            qkv_next = qkv_next[:, : wqkv_next.n_out]
+    kn, vn = next(it), next(it)
+    ksn = vsn = None
+    if quantized:
+        ksn, vsn = next(it), next(it)
+    if has_qkv:
+        return x_out, ss, kn, vn, ksn, vsn, qkv_next
+    return x_out, ss, kn, vn, ksn, vsn

@@ -136,3 +136,112 @@ def test_chain4_qkv_stage(rng, m):
     np.testing.assert_allclose(np.asarray(got_qkv, np.float32),
                                np.asarray(want_qkv, np.float32),
                                rtol=4e-2, atol=4e-2)
+
+
+# ---------------------------------------------------------------------------
+# mono-layer (attention prefix + chain in one launch)
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("has_qkv", [False, True])
+def test_mono_layer_matches_two_kernel_path(rng, quantized, has_qkv):
+    from llama_cu_awq_tpu.ops.pallas.attention_step import (attention_step,
+                                                            rope_rows)
+    from llama_cu_awq_tpu.ops.pallas.int4_chain import (mono_layer,
+                                                        mono_supported)
+
+    B, A, H, n_kv, D = 2, 256, 4, 2, 128
+    dim, hidden = H * D, 1024
+    wo = make_qt(rng, dim, dim)
+    w_gate_up = make_qt(rng, dim, 2 * hidden)
+    w_down = make_qt(rng, hidden, dim)
+    wqkv = make_qt(rng, dim, (H + 2 * n_kv) * D) if has_qkv else None
+    assert mono_supported(wo, w_gate_up, w_down, B, D, A, H, n_kv, wqkv)
+
+    qkv = jnp.asarray(
+        rng.standard_normal((B, (H + 2 * n_kv) * D)), jnp.bfloat16)
+    x_res = jnp.asarray(rng.standard_normal((B, dim)), jnp.bfloat16)
+    nw = jnp.asarray(rng.normal(size=(dim,)), jnp.float32)
+    nw2 = jnp.asarray(rng.normal(size=(dim,)), jnp.float32)
+    pos = jnp.asarray([3, 255], jnp.int32)
+    cos2, sinm = rope_rows(pos, D, 10000.0)
+    if quantized:
+        k_cache = jnp.asarray(
+            rng.integers(-127, 128, (B, A, n_kv, D)), jnp.int8)
+        v_cache = jnp.asarray(
+            rng.integers(-127, 128, (B, A, n_kv, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, A, n_kv)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, A, n_kv)),
+                         jnp.float32)
+    else:
+        k_cache = jnp.asarray(
+            rng.standard_normal((B, A, n_kv, D)) * .3, jnp.bfloat16)
+        v_cache = jnp.asarray(
+            rng.standard_normal((B, A, n_kv, D)) * .3, jnp.bfloat16)
+        ks = vs = None
+
+    # two-kernel reference: attention_step then ffn_chain
+    attn, kn_r, vn_r, ksn_r, vsn_r = attention_step(
+        qkv, k_cache, v_cache, pos, cos2, sinm, ks, vs, n_heads=H,
+        attn_len=A, interpret=True)
+    attn = attn.reshape(B, dim).astype(jnp.bfloat16)
+    if has_qkv:
+        want_x, want_ss, want_qkv = ffn_chain(
+            attn, x_res, nw, wo, w_gate_up, w_down, eps=RMS_EPS,
+            wqkv_next=wqkv, attn_norm_next=nw2, interpret=True)
+    else:
+        want_x, want_ss = ffn_chain(attn, x_res, nw, wo, w_gate_up,
+                                    w_down, eps=RMS_EPS, interpret=True)
+
+    outs = mono_layer(
+        qkv, x_res, nw, wo, w_gate_up, w_down, k_cache, v_cache, pos,
+        cos2, sinm, ks, vs, n_heads=H, attn_len=A, eps=RMS_EPS,
+        wqkv_next=wqkv, attn_norm_next=nw2 if has_qkv else None,
+        interpret=True)
+    got_x, got_ss, kn, vn, ksn, vsn = outs[:6]
+
+    np.testing.assert_allclose(np.asarray(got_x, np.float32),
+                               np.asarray(want_x, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got_ss), np.asarray(want_ss),
+                               rtol=1e-2, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(kn, np.float32),
+                                  np.asarray(kn_r, np.float32))
+    np.testing.assert_array_equal(np.asarray(vn, np.float32),
+                                  np.asarray(vn_r, np.float32))
+    if quantized:
+        np.testing.assert_allclose(np.asarray(ksn), np.asarray(ksn_r),
+                                   rtol=1e-6)
+    if has_qkv:
+        np.testing.assert_allclose(np.asarray(outs[6], np.float32),
+                                   np.asarray(want_qkv, np.float32),
+                                   rtol=4e-2, atol=4e-2)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_forward_with_mono(rng, quant):
+    """attn_impl='mono' (whole layer in one launch) vs the einsum path
+    over several consecutive decode steps."""
+    from llama_cu_awq_tpu.config import ModelConfig
+    from llama_cu_awq_tpu.models import (forward, init_kv_cache,
+                                         synthetic_params)
+
+    cfg = ModelConfig(dim=512, hidden_dim=1024, n_layers=3, n_heads=4,
+                      n_kv_heads=2, vocab_size=512, seq_len=256)
+    params = synthetic_params(cfg, seed=9, tpu_layout=True,
+                              param_dtype=jnp.float32)
+    B = 2
+    c1 = init_kv_cache(cfg, B, 128, quantized=quant)
+    c2 = init_kv_cache(cfg, B, 128, quantized=quant)
+    t1 = t2 = jnp.asarray([[7], [42]])
+    for step in range(3):
+        pos = jnp.full((B,), step, jnp.int32)
+        l1, c1 = forward(params, cfg, t1, pos, c1, attn_len=128,
+                         matmul_impl="pallas")
+        l2, c2 = forward(params, cfg, t2, pos, c2, attn_len=128,
+                         matmul_impl="pallas", attn_impl="mono")
+        a, b = np.asarray(l1), np.asarray(l2)
+        assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2, step
+        t1 = jnp.argmax(l1, axis=-1)[:, None]
+        t2 = jnp.argmax(l2, axis=-1)[:, None]
+        assert (np.asarray(t1) == np.asarray(t2)).all(), step

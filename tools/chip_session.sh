@@ -52,6 +52,9 @@ run bench_b1_chain python -u bench.py --chain --repeats 4
 run bench_b1_chain_fstep python -u bench.py --chain \
     --attn-impl fused_step --repeats 4
 
+# 3e. mono-layer kernel: the whole decoder layer in ONE launch
+run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
+
 # 4. batch-1 baseline re-measure (same chip phase for comparison)
 run bench_b1_base python -u bench.py --repeats 4
 

@@ -70,9 +70,24 @@ def main():
                          "config, BASELINE.json '13B tensor-sharded')")
     args = ap.parse_args()
 
-    if args.chain:
-        import os
+    # chip-tuned defaults: tools/chip_session.sh A/Bs the kernel
+    # configs on real hardware and records the winner here, so a plain
+    # `python bench.py` (the driver's round-end invocation) runs the
+    # best chip-validated configuration automatically
+    import os
 
+    dflt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_defaults.json")
+    if args.attn_impl is None and not args.chain and os.path.exists(dflt):
+        with open(dflt) as f:
+            tuned = json.load(f)
+        key = "batch" if args.mode == "batch" else "decode"
+        cfg_t = tuned.get(key, {})
+        args.attn_impl = cfg_t.get("attn_impl")
+        args.chain = bool(cfg_t.get("chain"))
+        log(f"tuned defaults ({key}) from bench_defaults.json: {cfg_t}")
+
+    if args.chain:
         os.environ["LLAMA_TPU_CHAIN"] = "1"
 
     import jax

@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-2 chip measurement queue: run back-to-back once the TPU tunnel
-# is reachable, logging each step. Order = VERDICT priority: serving
-# attention (item 1), batch-1 (item 2), real model (item 3),
-# long-context (item 4), 13B (item 5).
+# is reachable, logging each step. Priority order: the batch-1 kernel
+# A/B matrix first (it decides bench_defaults.json for the driver's
+# round-end bench), then serving, real-model e2e, long-context, 13B.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=/tmp/chip_session
@@ -24,55 +24,48 @@ run() {  # run <name> <cmd...>
     tail -4 $LOG/$1.log | tee -a $LOG/session.log
 }
 
-# 1. kernel variant A/B (early exit vs static; int8/bf16; vs einsum)
+# 0. kernel variant A/B (early exit vs static; int8/bf16; fused_step;
+# vs einsum) — quick signal on whether the new kernels Mosaic-compile
 run mb_attn python -u tools/microbench_attn.py
 
-# 2. serving bench with the early-exit kernel (direct VERDICT item 1)
-run bench_batched python -u bench.py --mode batch --slots 32 \
-    --requests 64 --kv-quant --attn-impl batched --repeats 3
-
-# 2b. static-map variant (bucket-bounded grid, no dynamic index maps)
-run bench_batched_static python -u bench.py --mode batch --slots 32 \
-    --requests 64 --kv-quant --attn-impl batched_static --repeats 3
-
-# 3. batch-1 with the batched kernel (attention exposure lever)
-run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
-
-# 3b. batch-1 with the fused attention-step kernel (split+rope+quant+
-# attention in one kernel; ops/pallas/attention_step.py)
+# 1. batch-1 A/B matrix (VERDICT item 2) — decides the tuned default
+run bench_b1_base python -u bench.py --repeats 4
 run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
-
-# 3c. serving with the fused step kernel
-run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
-    --requests 64 --kv-quant --attn-impl fused_step --repeats 3
-
-# 3d. single-launch o-proj+FFN chain kernel, alone and with fused_step
-# (2 Pallas launches per layer total)
 run bench_b1_chain python -u bench.py --chain --repeats 4
 run bench_b1_chain_fstep python -u bench.py --chain \
     --attn-impl fused_step --repeats 4
-
-# 3e. mono-layer kernel: the whole decoder layer in ONE launch
 run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
+run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
+python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
-# 4. batch-1 baseline re-measure (same chip phase for comparison)
-run bench_b1_base python -u bench.py --repeats 4
+# 2. serving A/B (VERDICT item 1)
+run bench_batch_base python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --repeats 3
+run bench_batched python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl batched --repeats 3
+run bench_batched_static python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl batched_static --repeats 3
+run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --attn-impl fused_step --repeats 3
+python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
-# 5. train the real model (TPU, ~10 min), full e2e incl. PPL parity
+# 3. train the real model (TPU, ~10 min), full e2e incl. PPL parity
 run real_e2e bash tools/real_model_e2e.sh /root/data/tinyllama 3000
 
-# 6. long-context decode: 2K and 4K windows
+# 4. long-context decode: 2K and 4K windows
 run bench_2k python -u bench.py --max-seq 2048 --prompt-len 1664 \
     --steps 256 --repeats 3
-run bench_2k_batched python -u bench.py --max-seq 2048 \
-    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl batched
 run bench_2k_fstep python -u bench.py --max-seq 2048 \
     --prompt-len 1664 --steps 256 --repeats 3 --attn-impl fused_step
+run bench_2k_mono python -u bench.py --max-seq 2048 \
+    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl mono
 run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
-    --steps 256 --repeats 3 --attn-impl batched
+    --steps 256 --repeats 3 --attn-impl fused_step
 
-# 7. 13B: tiling sweep then bench
+# 5. 13B: tiling sweep then bench (best decode config + base)
 run sweep_13b python -u tools/sweep_int4.py --config 13b
 run bench_13b python -u bench.py --config 13b --repeats 4
+run bench_13b_mono python -u bench.py --config 13b --attn-impl mono \
+    --repeats 4
 
 echo "=== chip session complete $(date) ===" | tee -a $LOG/session.log

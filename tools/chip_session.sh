@@ -24,7 +24,12 @@ run() {  # run <name> <cmd...>
     tail -4 $LOG/$1.log | tee -a $LOG/session.log
 }
 
-# 0. kernel variant A/B (early exit vs static; int8/bf16; fused_step;
+# 0a. parity gate: every A/B variant vs the einsum path ON CHIP at a
+# small kernel-engaging shape; writes $LOG/parity.json, which
+# pick_bench_defaults.py requires before promoting a variant
+run parity python -u tools/chip_parity.py $LOG
+
+# 0b. kernel variant A/B (early exit vs static; int8/bf16; fused_step;
 # vs einsum) — quick signal on whether the new kernels Mosaic-compile
 run mb_attn python -u tools/microbench_attn.py
 

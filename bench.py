@@ -64,6 +64,14 @@ def main():
     ap.add_argument("--chain", action="store_true",
                     help="single-launch o-proj+FFN chain kernel "
                          "(ops/pallas/int4_chain.py)")
+    ap.add_argument("--spec", default=None, choices=["ngram"],
+                    help="greedy speculative decoding (prompt-lookup); "
+                         "decode mode only")
+    ap.add_argument("--spec-k", type=int, default=7)
+    ap.add_argument("--platform", default=None,
+                    help="override the JAX platform (e.g. cpu for a "
+                         "plumbing smoke; the axon sitecustomize forces "
+                         "JAX_PLATFORMS, so only jax.config works)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel over N chips (mesh + shard_map; "
                          "needs N devices — the multi-chip benchmark "
@@ -92,6 +100,8 @@ def main():
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/llama_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -144,7 +154,8 @@ def main():
         params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
         matmul_impl=impl, attn_impl=args.attn_impl,
         max_seq=max_seq, temperature=0.0, seed=1234,
-        chunk_size=args.chunk_size, mesh=mesh)
+        chunk_size=args.chunk_size, spec=args.spec,
+        spec_k=args.spec_k, mesh=mesh)
 
     prompt = list(range(5, 5 + args.prompt_len))
     steps = min(args.steps, max_seq - 2)
@@ -170,7 +181,8 @@ def main():
 
     result = {
         "metric": f"decode_tok_s_{args.config}_w4g128_b1"
-                  + (f"_tp{args.tp}" if args.tp > 1 else ""),
+                  + (f"_tp{args.tp}" if args.tp > 1 else "")
+                  + (f"_spec{args.spec_k}" if args.spec else ""),
         "value": round(best, 2),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

@@ -57,6 +57,14 @@ def build_argparser() -> argparse.ArgumentParser:
                          "shapes, int8-KV-native), or fused_step "
                          "(whole attention step - qkv split, RoPE, KV "
                          "quantize, attention - in one kernel)")
+    ap.add_argument("--spec", default=None, choices=["ngram"],
+                    help="speculative decoding (greedy only, -t 0.0): "
+                         "prompt-lookup n-gram proposals verified in "
+                         "one teacher-forced pass; output is "
+                         "bit-identical to plain greedy decode")
+    ap.add_argument("--spec-k", type=int, default=7, metavar="K",
+                    help="speculation depth: proposed tokens per verify "
+                         "(default 7)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--platform", default=None,
@@ -144,7 +152,8 @@ def main(argv=None) -> int:
         params, ckpt.config, tokenizer, act_dtype=act_dtype,
         matmul_impl=args.matmul_impl, attn_impl=args.attn_impl,
         kv_quant=args.kv_quant, temperature=args.temperature,
-        topp=args.topp, seed=args.seed,
+        topp=args.topp, seed=args.seed, spec=args.spec,
+        spec_k=args.spec_k,
         max_seq=args.max_seq or ckpt.config.seq_len, mesh=mesh)
 
     if args.profile:

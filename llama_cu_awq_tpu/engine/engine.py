@@ -115,6 +115,7 @@ class InferenceEngine:
                  attn_impl: str | None = None, kv_quant: bool = False,
                  max_seq: int | None = None, temperature: float = 0.5,
                  topp: float = 0.6, seed: int = 0, chunk_size: int = 16,
+                 spec: str | None = None, spec_k: int = 7,
                  mesh=None):
         self.params = params
         self.cfg = cfg
@@ -128,6 +129,25 @@ class InferenceEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self.kv_quant = kv_quant
+        # greedy speculative decoding (prompt-lookup): propose the k
+        # tokens that followed the most recent earlier occurrence of the
+        # current n-gram, verify all of them in ONE teacher-forced
+        # forward. Greedy-only — acceptance is exact argmax equality, so
+        # the emitted stream is bit-identical to plain decode.
+        self.spec = spec if temperature == 0.0 else None
+        if spec and self.spec is None:
+            import warnings
+
+            warnings.warn("speculative decoding is greedy-only "
+                          "(acceptance = exact argmax match); ignoring "
+                          f"spec={spec!r} at temperature "
+                          f"{temperature}", stacklevel=2)
+        if spec is not None and spec not in (None, "ngram"):
+            raise ValueError(f"unknown spec mode {spec!r} "
+                             "(supported: 'ngram')")
+        self.spec_k = spec_k
+        self.spec_stats = {"proposed": 0, "accepted": 0, "verifies": 0}
+        self._hist: list[int] = []
         # mesh: run tensor-parallel over a jax.sharding.Mesh with a 'tp'
         # axis; params must be in TP layout (parallel.tp_params_from_
         # checkpoint / tp_synthetic_params), ideally pre-placed
@@ -227,6 +247,110 @@ class InferenceEngine:
         return chunk
 
     @functools.cached_property
+    def _spec_verify_fn(self):
+        """One teacher-forced forward over [last_token, p_1..p_k] that
+        returns the greedy argmax at every position: out[t] is the
+        model's true next token after consuming p_1..p_t, so the
+        longest prefix with out[t-1] == p_t is exactly the plain greedy
+        stream, and out at the first mismatch is the correction token —
+        k+1 tokens of verified output for ONE weight pass when the
+        proposal holds. Cache rows written past the accepted prefix sit
+        at positions >= the rolled-back pos; every future step
+        overwrites row p before any step can attend to it, so they are
+        dead weight, never wrong reads (same argument as the post-EOS
+        rows in _decode_tokens)."""
+
+        @functools.partial(
+            engine_jit, static_argnames=("attn_len",),
+            donate_argnames=("cache",))
+        def verify(params, tokens, pos, cache, *, attn_len):
+            logits, cache = self._fwd(
+                params, tokens, pos, cache, attn_len=attn_len,
+                act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
+                attn_impl=self.attn_impl, logits_all=True)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        return verify
+
+    def _propose(self, k: int) -> list[int] | None:
+        """Prompt-lookup proposal: the k tokens that followed the most
+        recent earlier occurrence of the current trailing n-gram
+        (n = 3, then 2) in the token history. Pure host-side numpy —
+        O(len(history)) per call, no device work."""
+        h = np.asarray(self._hist, np.int32)
+        for n in (3, 2):
+            if len(h) <= n:
+                continue
+            pat = h[-n:]
+            win = np.lib.stride_tricks.sliding_window_view(h[:-1], n)
+            hits = np.nonzero((win == pat).all(axis=1))[0]
+            if hits.size:
+                s = int(hits[-1]) + n
+                prop = [int(t) for t in h[s:s + k]]
+                if prop:
+                    # pad to the single compiled verify width; padded
+                    # tail tokens are accepted only if the model agrees
+                    prop += [prop[-1]] * (k - len(prop))
+                    return prop
+        return None
+
+    def _decode_tokens_spec(self, token_arr, max_steps: int,
+                            stop_at_eos: bool = True, on_token=None):
+        """Speculative version of _decode_tokens (greedy, B=1): emits a
+        bit-identical token stream, host-syncing once per verify (or
+        falling back to plain device chunks while no n-gram matches)."""
+        generated: list[int] = []
+        last = int(np.asarray(token_arr)[0])
+        while len(generated) < max_steps:
+            k = self.spec_k
+            prop = (self._propose(k)
+                    if self.pos + k + 1 <= self.max_seq else None)
+            if prop is None:
+                # no proposal (or boundary tail): plain device chunks,
+                # one chunk at a time so history stays current
+                budget = min(self.chunk_size, max_steps - len(generated))
+                new, hit = self._decode_tokens(
+                    jnp.asarray([last], jnp.int32), budget,
+                    stop_at_eos=stop_at_eos, on_token=on_token)
+                generated.extend(new)
+                self._hist.extend(new)
+                if hit or not new:
+                    return generated, hit
+                last = new[-1]
+                continue
+            attn_len = self._bucket_for(self.pos + k + 1)
+            out, self.cache = self._spec_verify_fn(
+                self.params, jnp.asarray([[last] + prop], jnp.int32),
+                jnp.asarray([self.pos], jnp.int32), self.cache,
+                attn_len=attn_len)
+            out = np.asarray(out)[0]  # (k+1,) true greedy continuations
+            m = 0
+            while m < k and out[m] == prop[m]:
+                m += 1
+            emitted = [int(t) for t in out[:m + 1]]
+            self.spec_stats["proposed"] += k
+            self.spec_stats["accepted"] += m
+            self.spec_stats["verifies"] += 1
+            emitted = emitted[:max_steps - len(generated)]
+            if stop_at_eos and EOS_TOKEN in emitted:
+                emitted = emitted[:emitted.index(EOS_TOKEN) + 1]
+                self.pos += len(emitted)
+                self._consume_coins(len(emitted))
+                generated.extend(emitted)
+                self._hist.extend(emitted)
+                if on_token:
+                    on_token(emitted)
+                return generated, True
+            self.pos += len(emitted)
+            self._consume_coins(len(emitted))
+            generated.extend(emitted)
+            self._hist.extend(emitted)
+            if on_token:
+                on_token(emitted)
+            last = emitted[-1]
+        return generated, False
+
+    @functools.cached_property
     def _prefill_fn(self):
         @functools.partial(
             engine_jit, static_argnames=("block", "attn_len", "logits_all"),
@@ -246,6 +370,20 @@ class InferenceEngine:
     def reset(self):
         self.cache = self._init_cache()
         self.pos = 0
+        self._hist = []
+
+    def _decode_auto(self, token_arr, max_steps: int,
+                     stop_at_eos: bool = True, on_token=None):
+        """Dispatch to the speculative loop when enabled (greedy), else
+        the plain device-chunk loop."""
+        if self.spec:
+            self._hist.append(int(np.asarray(token_arr)[0]))
+            return self._decode_tokens_spec(token_arr, max_steps,
+                                            stop_at_eos=stop_at_eos,
+                                            on_token=on_token)
+        return self._decode_tokens(token_arr, max_steps,
+                                   stop_at_eos=stop_at_eos,
+                                   on_token=on_token)
 
     def _prefill(self, tokens: list[int], *, collect_logits: bool = False):
         """Feed prompt tokens at the current position in blocks.
@@ -254,6 +392,7 @@ class InferenceEngine:
         (len(tokens), vocab) when collect_logits (perplexity mode).
         """
         assert tokens
+        self._hist.extend(tokens)
         if not collect_logits and len(tokens) < PREFILL_BLOCK // 2:
             # short prompt: teacher-forced device chunk (no lm_head) beats
             # a padded full-width block; callers of this path only need
@@ -332,8 +471,8 @@ class InferenceEngine:
 
         prev_token = prompt_tokens[n_pref - 1]
         token_arr = jnp.asarray([prev_token], jnp.int32)
-        generated, hit_eos = self._decode_tokens(token_arr,
-                                                 steps - n_pref + 1)
+        generated, hit_eos = self._decode_auto(token_arr,
+                                               steps - n_pref + 1)
 
         # the reference prints the token from the *previous* iteration, so
         # the final generated token is never printed unless EOS stopped it
@@ -368,9 +507,10 @@ class InferenceEngine:
         generated: list[int] = []
         done = 0
         while done < max_steps:
-            k = min(self.chunk_size, max_steps - done)
-            if self.pos + k > self.max_seq:
-                k = max(1, self.max_seq - self.pos)
+            if self.pos >= self.max_seq:
+                break  # cache full: row max_seq would be out of bounds
+            k = min(self.chunk_size, max_steps - done,
+                    self.max_seq - self.pos)
             snapshot = self.rng.state
             coins = jnp.asarray(
                 [[self.rng.random_f32()] for _ in range(k)], jnp.float32)
@@ -416,12 +556,21 @@ class InferenceEngine:
             self._prefill(prompt_tokens[:n_pref - 1])
         token_arr = jnp.asarray([prompt_tokens[n_pref - 1]], jnp.int32)
 
+        if self.spec:
+            # speculative: same timed-token accounting (the loop emits
+            # exactly steps - n_pref + 1 tokens, in fewer weight passes)
+            tokens, _ = self._decode_auto(token_arr, steps - n_pref + 1,
+                                          stop_at_eos=False)
+            dt = time.time() - start
+            return tokens, dt, (steps - 1) / dt
+
         outs = []
         remaining = steps - n_pref + 1
         while remaining > 0:
-            k = min(self.chunk_size, remaining)
-            if self.pos + k > self.max_seq:
-                k = max(1, self.max_seq - self.pos)
+            if self.pos >= self.max_seq:
+                break  # cache full: row max_seq would be out of bounds
+            k = min(self.chunk_size, remaining,
+                    self.max_seq - self.pos)
             coins = jnp.asarray(
                 [[self.rng.random_f32()] for _ in range(k)], jnp.float32)
             attn_len = self._bucket_for(self.pos + k)
@@ -479,7 +628,7 @@ class InferenceEngine:
                 pieces.append(piece)
                 state["prev"] = nxt
 
-        self._decode_tokens(token_arr, budget, on_token=emit)
+        self._decode_auto(token_arr, budget, on_token=emit)
         return "".join(pieces)
 
     def chat_loop(self, cli_user_prompt=None, cli_system_prompt=None,

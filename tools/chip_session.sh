@@ -14,6 +14,10 @@ mkdir -p $LOG
 DEADLINE=${CHIP_SESSION_DEADLINE:-1787002200}
 
 run() {  # run <name> <cmd...>
+    if [ -n "${CHIP_SESSION_DRYRUN:-}" ]; then
+        echo "DRYRUN $1: ${*:2}"
+        return 0
+    fi
     if [ "$(date +%s)" -ge "$DEADLINE" ]; then
         echo "=== skipping $1: past deadline ===" | tee -a $LOG/session.log
         return 0
@@ -43,6 +47,10 @@ run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
+# beyond-parity: greedy speculative decoding (own metric name; never
+# picked as the driver default)
+run bench_b1_spec python -u bench.py --spec ngram --repeats 3
+
 # 2. serving A/B (VERDICT item 1)
 run bench_batch_base python -u bench.py --mode batch --slots 32 \
     --requests 64 --kv-quant --repeats 3
@@ -64,6 +72,8 @@ run bench_2k_fstep python -u bench.py --max-seq 2048 \
     --prompt-len 1664 --steps 256 --repeats 3 --attn-impl fused_step
 run bench_2k_mono python -u bench.py --max-seq 2048 \
     --prompt-len 1664 --steps 256 --repeats 3 --attn-impl mono
+run bench_2k_flash python -u bench.py --max-seq 2048 \
+    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl flash
 run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
     --steps 256 --repeats 3 --attn-impl fused_step
 

@@ -210,7 +210,7 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
                       kv_quant=args.kv_quant, attn_impl=args.attn_impl,
                       temperature=0.0, chunk_size=args.chunk_size,
-                      mesh=mesh)
+                      spec=args.spec, spec_k=args.spec_k, mesh=mesh)
 
     def one_run():
         eng.reset()
@@ -240,7 +240,8 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
     print(json.dumps({
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
                   f"_r{args.requests}" + ("_kvq8" if args.kv_quant else "")
-                  + (f"_tp{args.tp}" if args.tp > 1 else ""),
+                  + (f"_tp{args.tp}" if args.tp > 1 else "")
+                  + (f"_spec{args.spec_k}" if args.spec else ""),
         "value": round(best, 1),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

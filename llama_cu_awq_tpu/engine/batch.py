@@ -43,6 +43,7 @@ from llama_cu_awq_tpu.engine.engine import (
     attn_buckets,
     engine_jit,
     make_engine_forward,
+    propose_ngram,
 )
 from llama_cu_awq_tpu.engine.scheduler import make_scheduler
 from llama_cu_awq_tpu.models.llama import (
@@ -76,6 +77,7 @@ class BatchEngine:
                  attn_impl: str | None = None, kv_quant: bool = False,
                  temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
+                 spec: str | None = None, spec_k: int = 7,
                  prefer_native_scheduler: bool = True, mesh=None):
         self.params = params
         self.cfg = cfg
@@ -113,6 +115,20 @@ class BatchEngine:
         self._slot_req: list[_Req | None] = [None] * n_slots
         self._pending: list[list[int]] = [[] for _ in range(n_slots)]
         self._next_id = 0
+        # serving speculative decoding (greedy slots only): decode runs
+        # as (S, T=spec_k+1) teacher-forced BLOCKS — prompt feed,
+        # prompt-lookup proposals, and plain decode unified in one
+        # weight pass per block; each slot advances by its accepted
+        # prefix + the model's correction token, so a block yields up
+        # to T exact greedy tokens per slot for one weight read.
+        if spec is not None and spec != "ngram":
+            raise ValueError(f"unknown spec mode {spec!r} "
+                             "(supported: 'ngram')")
+        self.spec = spec
+        self.spec_k = spec_k
+        self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
+                           "accepted": 0}
+        self._carry = np.zeros(n_slots, np.int32)  # next unconsumed tok
 
     # ------------------------------------------------------------------
 
@@ -199,6 +215,154 @@ class BatchEngine:
 
         return chunk
 
+    @functools.cached_property
+    def _spec_block_fn(self):
+        """One teacher-forced forward over (S, T) input blocks with
+        per-slot positions, returning the greedy argmax at every
+        position — the serving verify step. One weight read serves up
+        to T tokens per slot; decode is weight-bandwidth-bound, so the
+        extra matmul/attention FLOPs of rejected positions are nearly
+        free at serving batch sizes."""
+
+        @functools.partial(engine_jit, static_argnames=("attn_len",),
+                           donate_argnames=("cache",))
+        def block(params, tokens, pos, cache, *, attn_len):
+            logits, cache = self._fwd(
+                params, tokens, pos, cache, attn_len=attn_len,
+                act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
+                attn_impl=self.attn_impl, logits_all=True)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        return block
+
+    def _dispatch_spec_block(self, active):
+        """Build and launch one (S, T) speculative block: pending
+        prompt tokens first (guaranteed-valid teacher forcing), then
+        prompt-lookup proposals, then carry-padding. Returns the block
+        record for _process_spec_block."""
+        T = self.spec_k + 1
+        S = self.n_slots
+        inputs = np.zeros((S, T), np.int32)
+        n_forced = {}
+        emitting = {}
+        for s in range(S):
+            if s not in active:
+                continue
+            pend = self._pending[s]
+            F = min(len(pend), T)
+            if F:
+                inputs[s, :F] = pend[:F]
+                del pend[:F]
+            else:
+                inputs[s, 0] = self._carry[s]
+                F = 0
+            n_forced[s] = F
+            emitting[s] = not pend  # pending exhausted => emissions
+            fill = F if F else 1
+            if fill < T:
+                if emitting[s]:
+                    req = self._slot_req[s]
+                    prop = propose_ngram(req.prompt + req.out, T - fill)
+                else:
+                    prop = None
+                if prop is not None:
+                    inputs[s, fill:] = prop
+                    self.spec_stats["proposed"] += T - fill
+                else:
+                    # carry-pad: consumed only if the model agrees,
+                    # which plain padding never is beyond position fill
+                    inputs[s, fill:] = inputs[s, fill - 1]
+        attn_len = self._bucket_for(int(self.pos[list(active)].max()) + T)
+        out, self.cache = self._spec_block_fn(
+            self.params, jnp.asarray(inputs), jnp.asarray(self.pos),
+            self.cache, attn_len=attn_len)
+        owners = {s: self._slot_req[s] for s in active}
+        start_pos = {s: int(self.pos[s]) for s in active}
+        self.spec_stats["blocks"] += 1
+        return {"out": out, "inputs": inputs, "owners": owners,
+                "n_forced": n_forced, "emitting": emitting,
+                "start_pos": start_pos, "T": T}
+
+    def _process_spec_block(self, blk):
+        """Fetch a block's argmax outputs (host sync) and advance each
+        slot by its valid-input count: forced prompt tokens are always
+        valid; a proposal token is valid iff it equals the model's
+        output at the previous position. Emissions are the outputs from
+        the last forced position onward — the accepted prefix plus the
+        model's correction token, i.e. exact greedy tokens."""
+        out = np.asarray(blk["out"])  # (S, T)
+        T = blk["T"]
+        results = []
+        now = time.time()
+        for s, req in blk["owners"].items():
+            if self._slot_req[s] is not req or req.done:
+                continue
+            F = blk["n_forced"][s]
+            V = F if F >= 1 else 1
+            a = V
+            if blk["emitting"][s]:
+                emissions = [int(out[s, V - 1])]
+                while a < T and blk["inputs"][s, a] == out[s, a - 1]:
+                    a += 1
+                    emissions.append(int(out[s, a - 1]))
+                self.spec_stats["accepted"] += a - V
+            else:
+                emissions = []
+            self.spec_stats["consumed"] += a
+            self.pos[s] = blk["start_pos"][s] + a
+            new = []
+            for t in emissions:
+                finished = self.scheduler.on_token(s, t == EOS_TOKEN)
+                if t != EOS_TOKEN:
+                    new.append(t)
+                if finished:
+                    req.done = True
+                    req.finish_t = now
+                    self._slot_req[s] = None
+                    self._pending[s] = []
+                    break
+            if new:
+                self._carry[s] = new[-1]
+                if req.first_token_t is None:
+                    req.first_token_t = now
+            req.out.extend(new)
+            if new or req.done:
+                results.append((req.id, new, req.done))
+        return results
+
+    def _spec_eligible(self, active):
+        """Spec blocks need all active slots greedy (acceptance is
+        argmax equality) and T rows of cache headroom per slot (the
+        block writes rows pos..pos+T-1; a slot near the boundary would
+        scatter out of bounds)."""
+        if not active:
+            return False
+        if (self.slot_temp[list(active)] > 0.0).any():
+            return False
+        T = self.spec_k + 1
+        return all(int(self.pos[s]) + T <= self.max_seq for s in active)
+
+    def _step_spec(self):
+        """One synchronous speculative round: admit, then either a spec
+        block or (when ineligible this round) a plain scan chunk."""
+        self._admit()
+        active = [s for s in range(self.n_slots)
+                  if self._slot_req[s] is not None
+                  and int(self.pos[s]) < self.max_seq]
+        if not active:
+            return None
+        for s in range(self.n_slots):
+            if s not in active:
+                self.pos[s] = 0  # park free/capped slots
+        if not self._spec_eligible(active):
+            # scan-chunk fallback: seed the device carry from the
+            # host-side next-unconsumed tokens (spec blocks don't
+            # maintain the device carry chain)
+            self.last_token = jnp.asarray(self._carry)
+            chunk = self._dispatch_chunk()
+            return self._process_chunk(chunk) if chunk else None
+        return self._process_spec_block(self._dispatch_spec_block(active))
+
     # ------------------------------------------------------------------
     # public API
 
@@ -214,6 +378,9 @@ class BatchEngine:
         self._requests = {}
         self._slot_req = [None] * self.n_slots
         self._pending = [[] for _ in range(self.n_slots)]
+        self._carry = np.zeros(self.n_slots, np.int32)
+        self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
+                           "accepted": 0}
 
     def submit(self, prompt: str | list[int], max_new: int = 0,
                temperature: float | None = None,
@@ -398,16 +565,21 @@ class BatchEngine:
                     self._slot_req[s] = None
                     self._pending[s] = []
                     break
-            if new and req.first_token_t is None:
-                req.first_token_t = now
+            if new:
+                self._carry[s] = new[-1]  # keeps spec blocks in sync
+                if req.first_token_t is None:
+                    req.first_token_t = now
             req.out.extend(new)
             if new or req.done:
                 results.append((req.id, new, req.done))
         return results
 
     def step(self) -> list[tuple[int, list[int], bool]]:
-        """Admit + one decode chunk, synchronously. Returns [(request_id,
-        new_tokens, finished)] for every request that produced tokens."""
+        """Admit + one decode chunk (or speculative block),
+        synchronously. Returns [(request_id, new_tokens, finished)] for
+        every request that produced tokens."""
+        if self.spec:
+            return self._step_spec() or []
         chunk = self._dispatch_chunk()
         return self._process_chunk(chunk) if chunk else []
 
@@ -420,6 +592,17 @@ class BatchEngine:
         chunk N+1 computes on device while the host fetches and routes
         chunk N's tokens (retired slots are reused one chunk late — the
         price of never letting the device go idle)."""
+        if self.spec:
+            # synchronous rounds: each block's inputs depend on the
+            # previous block's host-side acceptance, so there is no
+            # device carry to chain — a block is one weight pass for up
+            # to T tokens/slot, which is what buys the throughput
+            rounds = 0
+            while self.pending and rounds < max_chunks:
+                if self._step_spec() is None:
+                    break
+                rounds += 1
+            return {rid: r.out for rid, r in self._requests.items()}
         chunks = 0
         in_flight = None
         while chunks < max_chunks:
@@ -442,7 +625,7 @@ class BatchEngine:
         t0 = min(r.submit_t for r in reqs)
         t1 = max(r.finish_t for r in reqs)
         lat = [r.finish_t - r.submit_t for r in reqs]
-        return {
+        out = {
             "finished": len(reqs),
             "total_tokens": total_tokens,
             "wall_s": t1 - t0,
@@ -450,3 +633,10 @@ class BatchEngine:
             "mean_latency_s": sum(lat) / len(lat),
             "max_latency_s": max(lat),
         }
+        if self.spec:
+            st = dict(self.spec_stats)
+            if st["proposed"]:
+                st["accept_rate"] = round(st["accepted"]
+                                          / st["proposed"], 4)
+            out["spec"] = st
+        return out

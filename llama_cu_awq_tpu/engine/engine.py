@@ -41,6 +41,30 @@ from llama_cu_awq_tpu.tokenizer import EOS_TOKEN, Tokenizer
 PREFILL_BLOCK = 128
 
 
+def propose_ngram(hist, k: int, ns=(3, 2)) -> list[int] | None:
+    """Prompt-lookup proposal: the k tokens that followed the most
+    recent earlier occurrence of the trailing n-gram (largest n in `ns`
+    first) of `hist`. Pure host-side numpy — O(len(hist)) per call, no
+    device work. Returns a length-k list (padded by repeating the last
+    token when the match lands near the end) or None."""
+    h = np.asarray(hist, np.int32)
+    for n in ns:
+        if len(h) <= n:
+            continue
+        pat = h[-n:]
+        win = np.lib.stride_tricks.sliding_window_view(h[:-1], n)
+        hits = np.nonzero((win == pat).all(axis=1))[0]
+        if hits.size:
+            s = int(hits[-1]) + n
+            prop = [int(t) for t in h[s:s + k]]
+            if prop:
+                # padded tail tokens are accepted only if the model
+                # agrees, so padding is always safe
+                prop += [prop[-1]] * (k - len(prop))
+                return prop
+    return None
+
+
 def engine_jit(fun=None, **kw):
     """jax.jit with tuned XLA compiler options for the engine's step
     functions.
@@ -273,26 +297,7 @@ class InferenceEngine:
         return verify
 
     def _propose(self, k: int) -> list[int] | None:
-        """Prompt-lookup proposal: the k tokens that followed the most
-        recent earlier occurrence of the current trailing n-gram
-        (n = 3, then 2) in the token history. Pure host-side numpy —
-        O(len(history)) per call, no device work."""
-        h = np.asarray(self._hist, np.int32)
-        for n in (3, 2):
-            if len(h) <= n:
-                continue
-            pat = h[-n:]
-            win = np.lib.stride_tricks.sliding_window_view(h[:-1], n)
-            hits = np.nonzero((win == pat).all(axis=1))[0]
-            if hits.size:
-                s = int(hits[-1]) + n
-                prop = [int(t) for t in h[s:s + k]]
-                if prop:
-                    # pad to the single compiled verify width; padded
-                    # tail tokens are accepted only if the model agrees
-                    prop += [prop[-1]] * (k - len(prop))
-                    return prop
-        return None
+        return propose_ngram(self._hist, k)
 
     def _decode_tokens_spec(self, token_arr, max_steps: int,
                             stop_at_eos: bool = True, on_token=None):

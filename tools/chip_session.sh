@@ -47,9 +47,11 @@ run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
-# beyond-parity: greedy speculative decoding (own metric name; never
+# beyond-parity: greedy speculative decoding (own metric names; never
 # picked as the driver default)
 run bench_b1_spec python -u bench.py --spec ngram --repeats 3
+run bench_batch_spec python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --spec ngram --repeats 3
 
 # 2. serving A/B (VERDICT item 1)
 run bench_batch_base python -u bench.py --mode batch --slots 32 \

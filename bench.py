@@ -30,6 +30,14 @@ def main():
                     help="decode: batch-1 tok/s (headline); batch: "
                          "continuous-batching aggregate tok/s")
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--decode-steps", type=int, default=None,
+                    help="long-context accounting: prefill the WHOLE "
+                         "prompt (untimed), then time exactly N decode "
+                         "steps at positions prompt_len..prompt_len+N "
+                         "— pure decode tok/s at depth (--steps's "
+                         "reference accounting counts prompt positions "
+                         "and would never reach deep positions when "
+                         "steps < prompt_len)")
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--max-seq", type=int, default=None)
     ap.add_argument("--chunk-size", type=int, default=None,
@@ -158,11 +166,17 @@ def main():
         spec_k=args.spec_k, mesh=mesh)
 
     prompt = list(range(5, 5 + args.prompt_len))
-    steps = min(args.steps, max_seq - 2)
+    if args.decode_steps:
+        # long-context: untimed full-prompt prefill + timed decode-only
+        steps = min(args.prompt_len + args.decode_steps, max_seq - 2)
+        untimed_prefill = True
+    else:
+        steps = min(args.steps, max_seq - 2)
+        untimed_prefill = False
 
     log("warmup (compiles prefill + decode buckets)...")
     t0 = time.time()
-    engine.generate_benchmark(prompt, steps)
+    engine.generate_benchmark(prompt, steps, untimed_prefill)
     log(f"warmup done in {time.time()-t0:.1f}s")
 
     best = 0.0
@@ -171,18 +185,23 @@ def main():
             from llama_cu_awq_tpu.utils import profile_trace
 
             with profile_trace(args.profile):
-                tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
+                tokens, dt, tok_s = engine.generate_benchmark(
+                    prompt, steps, untimed_prefill)
             log(f"profiler trace written to {args.profile}")
         else:
-            tokens, dt, tok_s = engine.generate_benchmark(prompt, steps)
-        log(f"run {i}: {len(tokens)} generated, {steps-1} timed steps "
-            f"in {dt:.3f}s -> {tok_s:.2f} tok/s")
+            tokens, dt, tok_s = engine.generate_benchmark(
+                prompt, steps, untimed_prefill)
+        log(f"run {i}: {len(tokens)} generated, "
+            f"{len(tokens) if untimed_prefill else steps - 1} timed "
+            f"steps in {dt:.3f}s -> {tok_s:.2f} tok/s")
         best = max(best, tok_s)
 
     result = {
         "metric": f"decode_tok_s_{args.config}_w4g128_b1"
                   + (f"_tp{args.tp}" if args.tp > 1 else "")
-                  + (f"_spec{args.spec_k}" if args.spec else ""),
+                  + (f"_spec{args.spec_k}" if args.spec else "")
+                  + (f"_ctx{args.prompt_len}" if args.decode_steps
+                     else ""),
         "value": round(best, 2),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

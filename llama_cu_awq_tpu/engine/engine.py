@@ -548,18 +548,28 @@ class InferenceEngine:
             token_arr = toks[-1]
         return generated, False
 
-    def generate_benchmark(self, prompt_tokens: list[int], steps: int):
+    def generate_benchmark(self, prompt_tokens: list[int], steps: int,
+                           untimed_prefill: bool = False):
         """Timed generation without per-chunk host syncs or text decoding:
         prefill + device-chained decode chunks, ONE device_get at the end
         (the relay/host sync is ~30 ms here, so syncing per token would
         dominate). Returns (tokens list, seconds, tok_per_s) with the
-        reference's timed-token accounting (llama2_q4.cu:486-489)."""
+        reference's timed-token accounting (llama2_q4.cu:486-489).
+
+        untimed_prefill: exclude the prompt phase from the clock and
+        count only decode steps — the honest long-context metric (the
+        parallel block prefill would otherwise inflate tok/s relative
+        to pure decode at deep positions)."""
         self.reset()
         start = time.time()
         n_pref = min(len(prompt_tokens), steps)
         if n_pref > 1:
             self._prefill(prompt_tokens[:n_pref - 1])
         token_arr = jnp.asarray([prompt_tokens[n_pref - 1]], jnp.int32)
+        if untimed_prefill:
+            jax.block_until_ready(self.cache.k[-1] if self.cache.k
+                                  else token_arr)
+            start = time.time()
 
         if self.spec:
             # speculative: same timed-token accounting (the loop emits
@@ -567,7 +577,8 @@ class InferenceEngine:
             tokens, _ = self._decode_auto(token_arr, steps - n_pref + 1,
                                           stop_at_eos=False)
             dt = time.time() - start
-            return tokens, dt, (steps - 1) / dt
+            timed = len(tokens) if untimed_prefill else steps - 1
+            return tokens, dt, timed / dt
 
         outs = []
         remaining = steps - n_pref + 1
@@ -588,7 +599,7 @@ class InferenceEngine:
             remaining -= k
         tokens = [int(t) for chunk in jax.device_get(outs) for t in chunk[:, 0]]
         dt = time.time() - start
-        timed = steps - 1
+        timed = len(tokens) if untimed_prefill else steps - 1
         return tokens, dt, timed / dt
 
     def _clamp_steps(self, steps):

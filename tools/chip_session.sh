@@ -67,17 +67,20 @@ python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 # 3. train the real model (TPU, ~10 min), full e2e incl. PPL parity
 run real_e2e bash tools/real_model_e2e.sh /root/data/tinyllama 3000
 
-# 4. long-context decode: 2K and 4K windows
+# 4. long-context decode: 2K and 4K windows (untimed full-prompt
+# prefill, then 256 timed decode steps at depth — pure decode tok/s)
 run bench_2k python -u bench.py --max-seq 2048 --prompt-len 1664 \
-    --steps 256 --repeats 3
-run bench_2k_fstep python -u bench.py --max-seq 2048 \
-    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl fused_step
-run bench_2k_mono python -u bench.py --max-seq 2048 \
-    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl mono
-run bench_2k_flash python -u bench.py --max-seq 2048 \
-    --prompt-len 1664 --steps 256 --repeats 3 --attn-impl flash
+    --decode-steps 256 --repeats 3
+run bench_2k_fstep python -u bench.py --max-seq 2048 --prompt-len 1664 \
+    --decode-steps 256 --repeats 3 --attn-impl fused_step
+run bench_2k_mono python -u bench.py --max-seq 2048 --prompt-len 1664 \
+    --decode-steps 256 --repeats 3 --attn-impl mono
+run bench_2k_flash python -u bench.py --max-seq 2048 --prompt-len 1664 \
+    --decode-steps 256 --repeats 3 --attn-impl flash
 run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
-    --steps 256 --repeats 3 --attn-impl fused_step
+    --decode-steps 256 --repeats 3 --attn-impl fused_step
+run bench_4k_base python -u bench.py --max-seq 4096 --prompt-len 3712 \
+    --decode-steps 256 --repeats 3
 
 # 5. 13B: tiling sweep then bench (best decode config + base)
 run sweep_13b python -u tools/sweep_int4.py --config 13b

@@ -47,23 +47,44 @@ class ServerOverloaded(Exception):
     """Admission queue is full; client should retry later (HTTP 429)."""
 
 
+class _Replica:
+    """One BatchEngine + its driver thread + the lock its scheduler
+    mutates under. Requests never migrate between replicas (a request's
+    KV slots live on one replica's devices), so each replica's engine
+    loop is independent — the dp analog of one host's engine in the
+    multi-host layout (parallel/multihost.py)."""
+
+    def __init__(self, be, idx: int):
+        self.be = be
+        self.idx = idx
+        self.lock = threading.Lock()
+        self.work = threading.Condition(self.lock)
+        self.thread: threading.Thread | None = None
+        self.served = 0    # cumulative requests routed here
+        self.inflight = 0  # live requests here (owned by eng._qlock)
+
+
 class ServingEngine:
     """Thread-safe continuous-batching driver with streaming outputs.
 
-    max_queue bounds ADMISSION (waiting requests beyond the slot pool):
-    submit() raises ServerOverloaded instead of queueing unboundedly —
-    an overloaded server sheds load with 429s rather than stretching
-    every client's latency to infinity."""
+    Accepts one BatchEngine or a list of them (dp replicas, e.g. one
+    per device group): requests route to the least-loaded replica at
+    submit and stay there. max_queue bounds ADMISSION globally
+    (waiting requests beyond the slot pools): submit() raises
+    ServerOverloaded instead of queueing unboundedly — an overloaded
+    server sheds load with 429s rather than stretching every client's
+    latency to infinity."""
 
     def __init__(self, batch_engine, tokenizer, max_queue: int = 256):
-        self.be = batch_engine
+        engines = (batch_engine if isinstance(batch_engine, (list, tuple))
+                   else [batch_engine])
+        self.replicas = [_Replica(be, i) for i, be in enumerate(engines)]
+        self.be = engines[0]  # back-compat single-engine accessor
         self.tokenizer = tokenizer
         self.max_queue = max_queue
-        self._lock = threading.Lock()
-        self._work = threading.Condition(self._lock)
-        self._queues: dict[int, queue.Queue] = {}
+        self._qlock = threading.Lock()   # queues + global counters
+        self._queues: dict[tuple, queue.Queue] = {}
         self._running = False
-        self._thread: threading.Thread | None = None
         self.started_t = time.time()
         self.total_requests = 0
         self.total_tokens = 0
@@ -74,16 +95,20 @@ class ServingEngine:
 
     def start(self):
         self._running = True
-        self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="serving-engine")
-        self._thread.start()
+        for r in self.replicas:
+            r.thread = threading.Thread(
+                target=self._loop, args=(r,), daemon=True,
+                name=f"serving-engine-{r.idx}")
+            r.thread.start()
 
     def stop(self):
-        with self._work:
-            self._running = False
-            self._work.notify()
-        if self._thread:
-            self._thread.join(timeout=30)
+        for r in self.replicas:
+            with r.work:
+                self._running = False
+                r.work.notify()
+        for r in self.replicas:
+            if r.thread:
+                r.thread.join(timeout=30)
 
     # -- request API (called from handler threads) ----------------------
 
@@ -91,111 +116,146 @@ class ServingEngine:
                temperature: float | None = None,
                topp: float | None = None):
         """Queue a request; returns (request_id, token_queue). The queue
-        yields lists of token ids and a final None sentinel."""
+        yields lists of token ids and a final None sentinel. Routing is
+        least-loaded by live-request count (ties -> lowest index),
+        reserved atomically under the registry lock so concurrent
+        submits spread instead of dog-piling one replica."""
         q: queue.Queue = queue.Queue()
-        with self._work:
-            if self.be.scheduler.num_queued >= self.max_queue:
+        with self._qlock:
+            queued = sum(r.be.scheduler.num_queued for r in self.replicas)
+            if queued >= self.max_queue:
                 self.rejected_requests += 1
                 raise ServerOverloaded(
                     f"admission queue full ({self.max_queue} waiting)")
-            rid = self.be.submit(prompt, max_new=max_new,
-                                 temperature=temperature, topp=topp)
-            self._queues[rid] = q
-            self.total_requests += 1
-            self._work.notify()
+            r = min(self.replicas, key=lambda x: (x.inflight, x.idx))
+            r.inflight += 1
+        try:
+            with r.work:
+                lrid = r.be.submit(prompt, max_new=max_new,
+                                   temperature=temperature, topp=topp)
+                rid = (r.idx, lrid)
+                r.served += 1
+                with self._qlock:
+                    self._queues[rid] = q
+                    self.total_requests += 1
+                r.work.notify()
+        except Exception:
+            with self._qlock:
+                r.inflight -= 1
+            raise
         return rid, q
 
-    def cancel(self, rid: int):
+    def _drop_rid(self, rid) -> bool:
+        """Remove a request from the registry exactly once (the single
+        owner of the inflight decrement). Returns True if it was
+        present."""
+        with self._qlock:
+            present = self._queues.pop(rid, None) is not None
+            if present:
+                self.replicas[rid[0]].inflight -= 1
+        return present
+
+    def cancel(self, rid):
         """Abort a request whose client went away: frees its slot/queue
         entry so the engine stops burning decode steps on it."""
-        with self._lock:
-            if self.be.cancel(rid):
-                self.cancelled_requests += 1
-            self.be.drop_request(rid)
-            self._queues.pop(rid, None)
+        r = self.replicas[rid[0]]
+        with r.lock:
+            if r.be.cancel(rid[1]):
+                with self._qlock:
+                    self.cancelled_requests += 1
+            r.be.drop_request(rid[1])
+        self._drop_rid(rid)
 
-    # -- engine thread ---------------------------------------------------
+    # -- engine threads (one per replica) --------------------------------
 
-    def _loop(self):
+    def _loop(self, r: _Replica):
         """BatchEngine.run()'s lookahead loop, but endless: chunk N+1 is
         dispatched before chunk N's tokens are fetched/routed."""
-        if self.be.spec:
-            return self._loop_spec()
+        if r.be.spec:
+            return self._loop_spec(r)
         in_flight = None
         while True:
-            with self._work:
+            with r.work:
                 if not self._running:
                     break
-                nxt = self.be._dispatch_chunk() if self.be.pending else None
+                nxt = r.be._dispatch_chunk() if r.be.pending else None
                 if in_flight is None and nxt is None:
-                    self._work.wait(timeout=0.5)
+                    r.work.wait(timeout=0.5)
                     continue
             if in_flight is not None:
-                self._route(self._process(in_flight))
+                self._route(r, self._process(r, in_flight))
             in_flight = nxt
         if in_flight is not None:
-            self._route(self._process(in_flight))
+            self._route(r, self._process(r, in_flight))
 
-    def _loop_spec(self):
+    def _loop_spec(self, r: _Replica):
         """Speculative serving rounds: each (S, T) block's inputs depend
         on the previous block's host-side acceptance, so rounds are
-        synchronous — the whole step runs under the engine lock (the
+        synchronous — the whole step runs under the replica lock (the
         scheduler mutates inside), briefly blocking submits (~one block
         compute). The block amortizes up to T tokens/slot per weight
         pass, which is what buys the throughput on repetitive text."""
         while True:
-            with self._work:
+            with r.work:
                 if not self._running:
                     break
-                if not self.be.pending:
-                    self._work.wait(timeout=0.5)
+                if not r.be.pending:
+                    r.work.wait(timeout=0.5)
                     continue
-                results = self.be.step()
-            self._route(results)
+                results = r.be.step()
+            self._route(r, results)
 
-    def _process(self, chunk):
+    def _process(self, r: _Replica, chunk):
         # the scheduler mutates under _process_chunk (on_token) while
-        # handler threads call add/cancel — serialize under the engine
+        # handler threads call add/cancel — serialize under the replica
         # lock (the native scheduler also locks internally; this guards
         # the Python-level slot/request bookkeeping around it)
-        with self._lock:
-            return self.be._process_chunk(chunk)
+        with r.lock:
+            return r.be._process_chunk(chunk)
 
-    def _route(self, results):
-        for rid, new_tokens, finished in results:
+    def _route(self, r: _Replica, results):
+        for lrid, new_tokens, finished in results:
+            rid = (r.idx, lrid)
             q = self._queues.get(rid)
             if q is None:
                 continue
             if new_tokens:
                 q.put(new_tokens)
-                self.total_tokens += len(new_tokens)
+                with self._qlock:
+                    self.total_tokens += len(new_tokens)
             if finished:
                 q.put(None)
-                with self._lock:
-                    self._queues.pop(rid, None)
-                    # forget the finished request's record: a long-running
-                    # server must not accumulate every _Req ever served
-                    self.be.drop_request(rid)
+                self._drop_rid(rid)
+                # forget the finished request's record: a long-running
+                # server must not accumulate every _Req ever served
+                with r.lock:
+                    r.be.drop_request(lrid)
 
     # -- helpers ---------------------------------------------------------
 
     def stats(self) -> dict:
-        with self._lock:
-            active = self.be.scheduler.num_active
-            queued = self.be.scheduler.num_queued
+        per = []
+        for r in self.replicas:
+            with r.lock:
+                per.append({"active_slots": r.be.scheduler.num_active,
+                            "queued_requests": r.be.scheduler.num_queued,
+                            "requests": r.served})
         up = time.time() - self.started_t
-        return {
+        out = {
             "uptime_s": round(up, 1),
             "requests": self.total_requests,
             "generated_tokens": self.total_tokens,
-            "active_slots": active,
-            "queued_requests": queued,
+            "active_slots": sum(p["active_slots"] for p in per),
+            "queued_requests": sum(p["queued_requests"] for p in per),
             "rejected_requests": self.rejected_requests,
             "cancelled_requests": self.cancelled_requests,
             "max_queue": self.max_queue,
-            "slots": self.be.n_slots,
+            "slots": sum(r.be.n_slots for r in self.replicas),
             "max_seq": self.be.max_seq,
         }
+        if len(self.replicas) > 1:
+            out["replicas"] = per
+        return out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -471,7 +531,8 @@ def make_server(batch_engine, tokenizer, host="0.0.0.0", port=8000,
                 model_name="llama", max_queue: int = 256,
                 max_streams: int = 64) -> tuple[ThreadingHTTPServer,
                                                 ServingEngine]:
-    """Build (http_server, serving_engine); caller starts/stops both."""
+    """Build (http_server, serving_engine); caller starts/stops both.
+    batch_engine may be a list of BatchEngines (dp replicas)."""
     eng = ServingEngine(batch_engine, tokenizer, max_queue=max_queue)
     handler = type("BoundHandler", (_Handler,),
                    {"engine": eng, "model_name": model_name,
@@ -510,6 +571,11 @@ def main(argv=None) -> int:
     ap.add_argument("--impl", dest="matmul_impl", default=None,
                     choices=["auto", "dequant", "pallas"])
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel replicas: one BatchEngine per "
+                         "group of --tp devices, requests routed to the "
+                         "least-loaded replica (the single-host analog "
+                         "of per-host engines, parallel/multihost.py)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
     if args.seed <= 0:
@@ -530,28 +596,46 @@ def main(argv=None) -> int:
     ckpt = load_checkpoint(args.checkpoint, verbose=True)
     tokenizer = Tokenizer(args.tokenizer, ckpt.config.vocab_size)
     on_tpu = jax.devices()[0].platform == "tpu"
-    mesh = None
+    devices = jax.devices()
+    need = args.dp * args.tp
+    if need > len(devices):
+        raise SystemExit(f"--dp {args.dp} x --tp {args.tp} needs {need} "
+                         f"devices, have {len(devices)}")
+    tp_host = None
+    host_params = None
     if args.tp > 1:
-        from llama_cu_awq_tpu.parallel import make_mesh, tp_params_from_checkpoint
-        from llama_cu_awq_tpu.parallel.tp import place_params
+        from llama_cu_awq_tpu.parallel import tp_params_from_checkpoint
 
-        mesh = make_mesh(tp=args.tp, dp=1, devices=jax.devices()[:args.tp])
-        params = place_params(tp_params_from_checkpoint(ckpt, args.tp),
-                              ckpt.config, mesh)
+        tp_host = tp_params_from_checkpoint(ckpt, args.tp)
     else:
-        params = params_from_checkpoint(ckpt, tpu_layout=on_tpu)
-    be = BatchEngine(params, ckpt.config, tokenizer, n_slots=args.slots,
-                     max_seq=args.max_seq, temperature=args.temperature,
-                     topp=args.topp, seed=args.seed, kv_quant=args.kv_quant,
-                     matmul_impl=args.matmul_impl, spec=args.spec,
-                     spec_k=args.spec_k,
-                     chunk_size=args.chunk_size, mesh=mesh)
-    httpd, eng = make_server(be, tokenizer, args.host, args.port,
+        host_params = params_from_checkpoint(ckpt, tpu_layout=on_tpu)
+    engines = []
+    for i in range(args.dp):
+        ds = devices[i * args.tp:(i + 1) * args.tp]
+        mesh = None
+        if args.tp > 1:
+            from llama_cu_awq_tpu.parallel import make_mesh
+            from llama_cu_awq_tpu.parallel.tp import place_params
+
+            mesh = make_mesh(tp=args.tp, dp=1, devices=ds)
+            params = place_params(tp_host, ckpt.config, mesh)
+        else:
+            params = (jax.device_put(host_params, ds[0])
+                      if args.dp > 1 else host_params)
+        engines.append(BatchEngine(
+            params, ckpt.config, tokenizer, n_slots=args.slots,
+            max_seq=args.max_seq, temperature=args.temperature,
+            topp=args.topp, seed=args.seed + i, kv_quant=args.kv_quant,
+            matmul_impl=args.matmul_impl, spec=args.spec,
+            spec_k=args.spec_k, chunk_size=args.chunk_size, mesh=mesh))
+    httpd, eng = make_server(engines if args.dp > 1 else engines[0],
+                             tokenizer, args.host, args.port,
                              max_queue=args.max_queue,
                              max_streams=args.max_streams)
     eng.start()
-    log.info("serving on %s:%d (%d slots, max_seq %d)", args.host,
-             args.port, args.slots, be.max_seq)
+    log.info("serving on %s:%d (%d slots x %d replicas, max_seq %d)",
+             args.host, args.port, args.slots, args.dp,
+             engines[0].max_seq)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

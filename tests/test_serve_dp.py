@@ -1,0 +1,144 @@
+"""Data-parallel serving replicas: N BatchEngines behind one
+ServingEngine with least-loaded request routing (the single-host
+analog of the per-host engine layout in parallel/multihost.py — a
+request's KV slots never leave its replica).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import pytest
+
+from llama_cu_awq_tpu.config import ModelConfig
+from llama_cu_awq_tpu.engine.batch import BatchEngine
+from llama_cu_awq_tpu.models import synthetic_params
+from llama_cu_awq_tpu.serve import make_server
+from llama_cu_awq_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def dp_setup():
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=32000, seq_len=128)
+    params = synthetic_params(cfg, seed=4, tpu_layout=False,
+                              param_dtype=jnp.float32)
+    tokenizer = Tokenizer("/root/reference/tokenizer.bin", 32000)
+    return cfg, params, tokenizer
+
+
+def _mk_engine(params, cfg, tokenizer, seed):
+    return BatchEngine(params, cfg, tokenizer, n_slots=1, max_seq=96,
+                       act_dtype=jnp.float32, matmul_impl="dequant",
+                       temperature=0.0, chunk_size=4, seed=seed)
+
+
+def _post(base, path, body, timeout=600):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read()
+
+
+def test_dp_replicas_share_load(dp_setup):
+    """4 concurrent requests over 2 single-slot replicas: all finish,
+    BOTH replicas serve (least-loaded routing), every stream replays
+    as greedy, and aggregate stats sum across replicas. Wrapped in
+    retry_compile_lottery: the two replicas compile separate
+    executables, so the CPU backend's per-compile near-tie jitter can
+    flip an argmax at a ~0.1-logit gap (a real routing/state bug has a
+    decisively-large gap and reproduces across fresh compiles)."""
+    cfg, params, tokenizer = dp_setup
+    from tests.test_batch_engine import (
+        assert_greedy_consistent,
+        retry_compile_lottery,
+    )
+
+    prompt = tokenizer.encode("Once upon a time", bos=True, eos=False)
+
+    def scenario():
+        engines = [_mk_engine(params, cfg, tokenizer, seed=100 + i)
+                   for i in range(2)]
+        httpd, eng = make_server(engines, tokenizer, host="127.0.0.1",
+                                 port=0)
+        eng.start()
+        threading.Thread(target=httpd.serve_forever,
+                         daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            results = [None] * 4
+
+            def client(i):
+                st, raw = _post(base, "/v1/completions",
+                                {"prompt": "Once upon a time",
+                                 "max_tokens": 8, "temperature": 0.0})
+                assert st == 200
+                results[i] = json.loads(raw)["choices"][0]["token_ids"]
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert all(r is not None and len(r) == 8 for r in results)
+            for r in results:
+                assert_greedy_consistent(params, cfg, prompt, r,
+                                         tol=2e-1)
+            st = eng.stats()
+            assert st["requests"] == 4
+            assert st["generated_tokens"] == 32
+            assert len(st["replicas"]) == 2
+            served = [p["requests"] for p in st["replicas"]]
+            assert all(n > 0 for n in served), (
+                f"least-loaded routing left a replica idle: {served}")
+        finally:
+            eng.stop()
+            httpd.shutdown()
+
+    retry_compile_lottery(scenario)
+
+
+def test_dp_cancel_routes_to_owner(dp_setup):
+    """cancel() must reach the replica that owns the request."""
+    cfg, params, tokenizer = dp_setup
+    engines = [_mk_engine(params, cfg, tokenizer, seed=200 + i)
+               for i in range(2)]
+    httpd, eng = make_server(engines, tokenizer, host="127.0.0.1",
+                             port=0)
+    # engine threads NOT started: requests stay queued deterministically
+    try:
+        rid0, _ = eng.submit([1, 5, 9], max_new=8)
+        rid1, _ = eng.submit([1, 5, 9], max_new=8)
+        assert rid0[0] != rid1[0], "round-robin over idle replicas"
+        eng.cancel(rid0)
+        st = eng.stats()
+        assert st["cancelled_requests"] == 1
+        # the cancelled request's replica has nothing pending
+        assert st["replicas"][rid0[0]]["queued_requests"] == 0
+        assert st["replicas"][rid1[0]]["queued_requests"] == 1
+    finally:
+        httpd.server_close()
+
+
+def test_dp_global_queue_bound(dp_setup):
+    """max_queue bounds admission across ALL replicas."""
+    cfg, params, tokenizer = dp_setup
+    from llama_cu_awq_tpu.serve import ServerOverloaded
+
+    engines = [_mk_engine(params, cfg, tokenizer, seed=300 + i)
+               for i in range(2)]
+    httpd, eng = make_server(engines, tokenizer, host="127.0.0.1",
+                             port=0, max_queue=2)
+    try:
+        # engine threads not started, so nothing is admitted to slots:
+        # every submit stays queued and counts against the global bound
+        for _ in range(2):
+            eng.submit([1, 5], max_new=4)
+        with pytest.raises(ServerOverloaded):
+            eng.submit([1, 5], max_new=4)
+        assert eng.stats()["rejected_requests"] == 1
+    finally:
+        httpd.server_close()

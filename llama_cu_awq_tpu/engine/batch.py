@@ -55,6 +55,56 @@ from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token, sample_token_ve
 from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN
 
 
+class _PrefixCache:
+    """LRU store of prompt-prefix KV rows at PREFILL_BLOCK-multiple
+    lengths (multi-turn chat and shared-system-prompt serving re-send
+    the same long prefix on every request; the reference re-prefills
+    from scratch every time — its one request IS the process). Rows of
+    a causal model depend only on earlier tokens, so for an identical
+    token prefix the cached rows are exact — admission becomes a
+    device-side row copy plus a prefill of only the tail.
+
+    Entries hold device arrays (per layer: (1, m, Hkv, D) codes/values
+    [+ (1, m, Hkv) scales when quantized]); at 7B a 384-row bf16 entry
+    is ~100 MB, so capacity defaults small — one hot system prompt is
+    the common case."""
+
+    def __init__(self, capacity: int):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self._entries = OrderedDict()  # key: tuple(tokens) -> rows
+        self.hits = 0
+        self.misses = 0
+        self.rows_saved = 0
+
+    def match(self, tokens: list[int]) -> int:
+        """Longest cached block-multiple prefix of `tokens`; 0 if none."""
+        m = (len(tokens) // PREFILL_BLOCK) * PREFILL_BLOCK
+        while m >= PREFILL_BLOCK:
+            key = tuple(tokens[:m])
+            if key in self._entries:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                self.rows_saved += m
+                return m
+            m -= PREFILL_BLOCK
+        self.misses += 1
+        return 0
+
+    def get(self, tokens: list[int], m: int):
+        return self._entries[tuple(tokens[:m])]
+
+    def put(self, tokens: list[int], m: int, rows) -> None:
+        key = tuple(tokens[:m])
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return
+        self._entries[key] = rows
+        while len(self._entries) > self.capacity:
+            self._entries.popitem(last=False)
+
+
 @dataclasses.dataclass
 class _Req:
     id: int
@@ -78,6 +128,7 @@ class BatchEngine:
                  temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
                  spec: str | None = None, spec_k: int = 7,
+                 prefix_cache_size: int = 0,
                  prefer_native_scheduler: bool = True, mesh=None):
         self.params = params
         self.cfg = cfg
@@ -129,6 +180,8 @@ class BatchEngine:
         self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
                            "accepted": 0}
         self._carry = np.zeros(n_slots, np.int32)  # next unconsumed tok
+        self.prefix_cache = (_PrefixCache(prefix_cache_size)
+                             if prefix_cache_size > 0 else None)
 
     # ------------------------------------------------------------------
 
@@ -214,6 +267,42 @@ class BatchEngine:
             return toks, cache  # toks: (K, S)
 
         return chunk
+
+    @functools.cached_property
+    def _prefix_put_fn(self):
+        """Copy cached prefix rows into rows [0, m) of one slot's cache
+        (device-side dynamic_update_slice per layer; no compute)."""
+
+        @functools.partial(engine_jit, donate_argnames=("cache",))
+        def put(cache, rows, slot):
+            def upd(full, part):
+                return [lax.dynamic_update_slice(
+                    f, p, (slot,) + (0,) * (f.ndim - 1))
+                    for f, p in zip(full, part)]
+
+            return KVCache(
+                upd(cache.k, rows[0]), upd(cache.v, rows[1]),
+                upd(cache.k_scale, rows[2]) if cache.k_scale else (),
+                upd(cache.v_scale, rows[3]) if cache.v_scale else ())
+
+        return put
+
+    @functools.cached_property
+    def _prefix_get_fn(self):
+        """Read rows [0, m) of one slot out of the cache (static m)."""
+
+        @functools.partial(engine_jit, static_argnames=("m",))
+        def get(cache, slot, *, m):
+            def take(arrs):
+                return [lax.dynamic_slice(
+                    a, (slot,) + (0,) * (a.ndim - 1),
+                    (1, m) + a.shape[2:]) for a in arrs]
+
+            return (take(cache.k), take(cache.v),
+                    take(cache.k_scale) if cache.k_scale else (),
+                    take(cache.v_scale) if cache.v_scale else ())
+
+        return get
 
     @functools.cached_property
     def _spec_block_fn(self):
@@ -455,7 +544,13 @@ class BatchEngine:
                 # stream so its logits come from the batched step
                 pos = 0
                 body = tokens[:-1]
-                i = 0
+                if self.prefix_cache is not None:
+                    pos = self.prefix_cache.match(body)
+                    if pos:
+                        rows = self.prefix_cache.get(body, pos)
+                        self.cache = self._prefix_put_fn(
+                            self.cache, rows, jnp.asarray(slot, jnp.int32))
+                i = pos
                 while i < len(body):
                     chunk = body[i:i + PREFILL_BLOCK]
                     block = 1 if len(chunk) == 1 else PREFILL_BLOCK
@@ -472,6 +567,16 @@ class BatchEngine:
                         block=block, attn_len=attn_len)
                     pos += len(chunk)
                     i += len(chunk)
+                if self.prefix_cache is not None:
+                    # store the freshly prefilled prefix (rows of a
+                    # causal model are final once written; decode only
+                    # writes rows >= len(tokens) - 1)
+                    ms = (len(body) // PREFILL_BLOCK) * PREFILL_BLOCK
+                    if ms >= PREFILL_BLOCK:
+                        self.prefix_cache.put(
+                            body, ms, self._prefix_get_fn(
+                                self.cache, jnp.asarray(slot, jnp.int32),
+                                m=ms))
                 self.pos[slot] = len(tokens) - 1
                 self._pending[slot] = [tokens[-1]]
             # self.last_token[slot] stays stale: the slot's first steps
@@ -639,4 +744,10 @@ class BatchEngine:
                 st["accept_rate"] = round(st["accepted"]
                                           / st["proposed"], 4)
             out["spec"] = st
+        if self.prefix_cache is not None:
+            pc = self.prefix_cache
+            out["prefix_cache"] = {
+                "hits": pc.hits, "misses": pc.misses,
+                "rows_saved": pc.rows_saved,
+                "entries": len(pc._entries)}
         return out

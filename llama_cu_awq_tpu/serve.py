@@ -568,6 +568,11 @@ def main(argv=None) -> int:
                     help="speculative serving blocks (greedy slots "
                          "only; sampled requests fall back per round)")
     ap.add_argument("--spec-k", type=int, default=7)
+    ap.add_argument("--prefix-cache", type=int, default=0, metavar="N",
+                    help="cache the KV rows of up to N prompt prefixes "
+                         "(block-multiple lengths): multi-turn chat / "
+                         "shared system prompts admit with a row copy "
+                         "instead of a full re-prefill")
     ap.add_argument("--impl", dest="matmul_impl", default=None,
                     choices=["auto", "dequant", "pallas"])
     ap.add_argument("--tp", type=int, default=1)
@@ -627,7 +632,8 @@ def main(argv=None) -> int:
             max_seq=args.max_seq, temperature=args.temperature,
             topp=args.topp, seed=args.seed + i, kv_quant=args.kv_quant,
             matmul_impl=args.matmul_impl, spec=args.spec,
-            spec_k=args.spec_k, chunk_size=args.chunk_size, mesh=mesh))
+            spec_k=args.spec_k, prefix_cache_size=args.prefix_cache,
+            chunk_size=args.chunk_size, mesh=mesh))
     httpd, eng = make_server(engines if args.dp > 1 else engines[0],
                              tokenizer, args.host, args.port,
                              max_queue=args.max_queue,

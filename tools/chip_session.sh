@@ -10,8 +10,9 @@ mkdir -p $LOG
 
 # Stop dispatching new items near the round's end so the driver's own
 # bench.py run gets the chip to itself (round 2 ends ~epoch 1787009400;
-# guard 2h before; override with CHIP_SESSION_DEADLINE).
-DEADLINE=${CHIP_SESSION_DEADLINE:-1787002200}
+# items run <=15 min, so a ~50-min guard suffices; override with
+# CHIP_SESSION_DEADLINE).
+DEADLINE=${CHIP_SESSION_DEADLINE:-1787006400}
 
 run() {  # run <name> <cmd...>
     if [ -n "${CHIP_SESSION_DRYRUN:-}" ]; then
@@ -33,19 +34,25 @@ run() {  # run <name> <cmd...>
 # pick_bench_defaults.py requires before promoting a variant
 run parity python -u tools/chip_parity.py $LOG
 
-# 0b. kernel variant A/B (early exit vs static; int8/bf16; fused_step;
-# vs einsum) — quick signal on whether the new kernels Mosaic-compile
-run mb_attn python -u tools/microbench_attn.py
-
-# 1. batch-1 A/B matrix (VERDICT item 2) — decides the tuned default
+# 1. batch-1 A/B matrix (VERDICT item 2) — decides the tuned default.
+# Order: proven base first (anchor; warm compile cache from round 1),
+# then variants by expected win (mono removes the most boundaries).
+# The picker runs after each item so a partial session still tunes.
 run bench_b1_base python -u bench.py --repeats 4
-run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
-run bench_b1_chain python -u bench.py --chain --repeats 4
+python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
+run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
 run bench_b1_chain_fstep python -u bench.py --chain \
     --attn-impl fused_step --repeats 4
-run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
+python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
+run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
+run bench_b1_chain python -u bench.py --chain --repeats 4
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
+
+# kernel variant microbench (early exit vs static; int8/bf16;
+# fused_step; vs einsum) — per-kernel attribution, after the
+# headline matrix so a short window spends chip time on the verdict
+run mb_attn python -u tools/microbench_attn.py
 
 # beyond-parity: greedy speculative decoding (own metric names; never
 # picked as the driver default)

@@ -187,6 +187,13 @@ def main(argv=None) -> int:
                                        on_piece=emit, echo=True)
             print(f"\n\nachieved tok/s: {stats['tok_per_s']:f}. "
                   f"Tokens: {stats['tokens']}, seconds: {stats['seconds']:g}")
+            if engine.spec:
+                ss = engine.spec_stats
+                rate = (ss["accepted"] / ss["proposed"]
+                        if ss["proposed"] else 0.0)
+                print(f"spec: {ss['verifies']} verifies, "
+                      f"{ss['accepted']}/{ss['proposed']} proposals "
+                      f"accepted ({rate:.0%})")
         else:
             engine.chat_loop(prompt, args.system_prompt, args.steps)
     return 0

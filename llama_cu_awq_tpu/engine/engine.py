@@ -311,9 +311,12 @@ class InferenceEngine:
             prop = (self._propose(k)
                     if self.pos + k + 1 <= self.max_seq else None)
             if prop is None:
-                # no proposal (or boundary tail): plain device chunks,
-                # one chunk at a time so history stays current
-                budget = min(self.chunk_size, max_steps - len(generated))
+                # no proposal (or boundary tail): a SHORT plain device
+                # chunk, so the n-gram check re-runs every spec_k steps
+                # (a full chunk_size run would sail past fresh
+                # repetition the verify step could exploit)
+                budget = min(self.spec_k, self.chunk_size,
+                             max_steps - len(generated))
                 new, hit = self._decode_tokens(
                     jnp.asarray([last], jnp.int32), budget,
                     stop_at_eos=stop_at_eos, on_token=on_token)

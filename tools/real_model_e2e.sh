@@ -29,6 +29,16 @@ python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.0 -n 64 \
 python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.5 -p 0.6 -s 1234 \
     -n 64 -i "To install the package," | tee $OUT/transcript_sampled.txt
 
+# 3b. speculative decoding on REAL text: same greedy prompt with and
+# without --spec; output must match and spec reports its acceptance
+# (real prose is where prompt-lookup earns its speedup)
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.0 -n 128 \
+    -i "The derivative of a function measures" \
+    | tee $OUT/transcript_plain.txt
+python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -t 0.0 -n 128 \
+    -i "The derivative of a function measures" --spec ngram \
+    | tee $OUT/transcript_spec.txt
+
 # 4. perplexity parity: pallas path (TPU) vs the f32 dequant oracle (CPU)
 python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -m perplexity \
     -q $CORPUS/valid.txt | tee $OUT/ppl_pallas.txt

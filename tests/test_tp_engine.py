@@ -123,3 +123,24 @@ def test_tp_batch_engine_kv_quant_runs(setup):
     r2 = be.submit([BOS_TOKEN, 442], max_new=4)
     out = be.run()
     assert len(out[r1]) >= 1 and len(out[r2]) >= 1
+
+
+def test_tp_spec_decode_matches_single(setup):
+    """Speculative decoding under tensor parallelism: the verify step
+    runs through the shard_map forward (logits_all at T = k+1 with the
+    vocab-sharded lm_head), and the emitted stream must still replay
+    as the single-device greedy stream."""
+    cfg, single, mesh, tp_params = setup
+    prompt = [BOS_TOKEN, 7, 130, 400, 23]
+    n_new = 12
+
+    def scenario():
+        eng = InferenceEngine(tp_params, cfg, act_dtype=jnp.float32,
+                              matmul_impl="dequant", temperature=0.0,
+                              max_seq=96, chunk_size=4, mesh=mesh,
+                              spec="ngram", spec_k=4)
+        got, _, _ = eng.generate_benchmark(prompt, len(prompt) + n_new)
+        assert len(got) == n_new + 1
+        assert_greedy_consistent(single, cfg, prompt, got[:n_new])
+
+    retry_compile_lottery(scenario)

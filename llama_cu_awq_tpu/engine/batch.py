@@ -178,7 +178,21 @@ class BatchEngine:
         self.spec = spec
         self.spec_k = spec_k
         self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
-                           "accepted": 0}
+                           "accepted": 0, "throttled_rounds": 0}
+        # adaptive throttle: a block whose proposals all MISS costs one
+        # weight pass for ~1 token/slot — slightly worse than the scan
+        # chunk it replaced. Two mechanisms keep speculation net-
+        # positive on arbitrary traffic:
+        #  * per-round choice: a round where no slot is prompt-feeding
+        #    and no proposal fires dispatches a scan chunk directly
+        #    (nothing to verify -> nothing to gain from a block);
+        #  * cooldown: when recent PROPOSING blocks accept below
+        #    spec_min_accept tokens per proposing slot, blocks pause
+        #    for spec_backoff rounds, then one block probes again.
+        self.spec_min_accept = 0.5
+        self.spec_backoff = 8
+        self._spec_recent: list[float] = []  # accept/slot of last blocks
+        self._spec_cooldown = 0
         self._carry = np.zeros(n_slots, np.int32)  # next unconsumed tok
         self.prefix_cache = (_PrefixCache(prefix_cache_size)
                              if prefix_cache_size > 0 else None)
@@ -324,16 +338,19 @@ class BatchEngine:
 
         return block
 
-    def _dispatch_spec_block(self, active):
+    def _dispatch_spec_block(self, active, props=None):
         """Build and launch one (S, T) speculative block: pending
         prompt tokens first (guaranteed-valid teacher forcing), then
-        prompt-lookup proposals, then carry-padding. Returns the block
+        prompt-lookup proposals (pre-computed generation-slot proposals
+        arrive via `props`), then carry-padding. Returns the block
         record for _process_spec_block."""
         T = self.spec_k + 1
         S = self.n_slots
+        props = props or {}
         inputs = np.zeros((S, T), np.int32)
         n_forced = {}
         emitting = {}
+        proposing = set()
         for s in range(S):
             if s not in active:
                 continue
@@ -349,14 +366,19 @@ class BatchEngine:
             emitting[s] = not pend  # pending exhausted => emissions
             fill = F if F else 1
             if fill < T:
+                prop = None
                 if emitting[s]:
-                    req = self._slot_req[s]
-                    prop = propose_ngram(req.prompt + req.out, T - fill)
-                else:
-                    prop = None
+                    prop = props.get(s)
+                    if prop is None and F:
+                        # pending emptied THIS block: propose from the
+                        # now-complete prompt context
+                        req = self._slot_req[s]
+                        prop = propose_ngram(req.prompt + req.out,
+                                             T - fill)
                 if prop is not None:
                     inputs[s, fill:] = prop
                     self.spec_stats["proposed"] += T - fill
+                    proposing.add(s)
                 else:
                     # carry-pad: consumed only if the model agrees,
                     # which plain padding never is beyond position fill
@@ -370,7 +392,7 @@ class BatchEngine:
         self.spec_stats["blocks"] += 1
         return {"out": out, "inputs": inputs, "owners": owners,
                 "n_forced": n_forced, "emitting": emitting,
-                "start_pos": start_pos, "T": T}
+                "proposing": proposing, "start_pos": start_pos, "T": T}
 
     def _process_spec_block(self, blk):
         """Fetch a block's argmax outputs (host sync) and advance each
@@ -383,6 +405,8 @@ class BatchEngine:
         T = blk["T"]                  # caller pre-fetched (serve.py)
         results = []
         now = time.time()
+        n_prop = 0
+        blk_accept = 0
         for s, req in blk["owners"].items():
             if self._slot_req[s] is not req or req.done:
                 continue
@@ -395,6 +419,9 @@ class BatchEngine:
                     a += 1
                     emissions.append(int(out[s, a - 1]))
                 self.spec_stats["accepted"] += a - V
+                if s in blk["proposing"]:
+                    n_prop += 1
+                    blk_accept += a - V
             else:
                 emissions = []
             self.spec_stats["consumed"] += a
@@ -417,6 +444,17 @@ class BatchEngine:
             req.out.extend(new)
             if new or req.done:
                 results.append((req.id, new, req.done))
+        if n_prop:
+            # adaptive throttle: proposing slots that accept ~nothing
+            # make a block strictly worse than a scan chunk (one weight
+            # pass for one token + T-1 wasted positions)
+            self._spec_recent.append(blk_accept / n_prop)
+            self._spec_recent = self._spec_recent[-4:]
+            if (len(self._spec_recent) >= 2
+                    and (sum(self._spec_recent) / len(self._spec_recent)
+                         < self.spec_min_accept)):
+                self._spec_cooldown = self.spec_backoff
+                self._spec_recent = []
         return results
 
     def _spec_eligible(self, active):
@@ -447,14 +485,37 @@ class BatchEngine:
         for s in range(self.n_slots):
             if s not in active:
                 self.pos[s] = 0  # park free/capped slots
-        if not self._spec_eligible(active):
-            # scan-chunk fallback: seed the device carry from the
+        throttled = self._spec_cooldown > 0
+        want_block = False
+        props = {}
+        if self._spec_eligible(active):
+            for s in active:
+                if self._pending[s]:
+                    # prompt feed: a block consumes up to T prompt
+                    # tokens in ONE weight pass (a chunk needs T) —
+                    # never throttled; the cooldown only suppresses
+                    # proposals, which are the speculative cost
+                    want_block = True
+                    continue
+                if throttled:
+                    continue
+                req = self._slot_req[s]
+                prop = propose_ngram(req.prompt + req.out, self.spec_k)
+                if prop is not None:
+                    props[s] = prop
+                    want_block = True
+        if throttled:
+            self._spec_cooldown -= 1
+            self.spec_stats["throttled_rounds"] += 1
+        if not want_block:
+            # nothing to verify and no prompt to bulk-feed: a scan
+            # chunk is strictly better. Seed the device carry from the
             # host-side next-unconsumed tokens (spec blocks don't
-            # maintain the device carry chain)
+            # maintain the device carry chain).
             self.last_token = jnp.asarray(self._carry)
             chunk = self._dispatch_chunk()
             return ("chunk", chunk) if chunk else None
-        return ("block", self._dispatch_spec_block(active))
+        return ("block", self._dispatch_spec_block(active, props))
 
     def _step_spec(self):
         """One synchronous speculative round: admit, then either a spec
@@ -484,7 +545,9 @@ class BatchEngine:
         self._pending = [[] for _ in range(self.n_slots)]
         self._carry = np.zeros(self.n_slots, np.int32)
         self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
-                           "accepted": 0}
+                           "accepted": 0, "throttled_rounds": 0}
+        self._spec_recent = []
+        self._spec_cooldown = 0
 
     def submit(self, prompt: str | list[int], max_new: int = 0,
                temperature: float | None = None,

@@ -51,19 +51,28 @@ PROMPTS = [
 def test_spec_blocks_match_greedy(tiny_model):
     """5 requests over 3 slots, spec blocks: every stream must be
     greedy-consistent, acceptance must actually happen (the random
-    tiny model loops), and slot reuse must work."""
+    tiny model loops), and slot reuse must work. retry: the throttle
+    can route rounds through the scan-chunk executable, which carries
+    the CPU backend's per-compile lottery."""
+    from tests.test_batch_engine import retry_compile_lottery
+
     params, cfg = tiny_model
-    be = make(params, cfg, spec="ngram", spec_k=4)
-    rids = [be.submit(p, max_new=12) for p in PROMPTS]
-    out = be.run()
-    assert be.scheduler.num_active == 0 and be.scheduler.num_queued == 0
-    for rid, p in zip(rids, PROMPTS):
-        assert len(out[rid]) == 12
-        assert_greedy_consistent(params, cfg, p, out[rid], tol=2e-1)
-    assert be.spec_stats["blocks"] > 0
-    assert be.spec_stats["accepted"] > 0
-    st = be.stats()
-    assert st["finished"] == 5 and "spec" in st
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        rids = [be.submit(p, max_new=12) for p in PROMPTS]
+        out = be.run()
+        assert (be.scheduler.num_active == 0
+                and be.scheduler.num_queued == 0)
+        for rid, p in zip(rids, PROMPTS):
+            assert len(out[rid]) == 12
+            assert_greedy_consistent(params, cfg, p, out[rid], tol=2e-1)
+        assert be.spec_stats["blocks"] > 0
+        assert be.spec_stats["accepted"] > 0
+        st = be.stats()
+        assert st["finished"] == 5 and "spec" in st
+
+    retry_compile_lottery(scenario, attempts=3)
 
 
 def test_spec_matches_plain_engine_streams(tiny_model):
@@ -96,46 +105,94 @@ def test_spec_matches_plain_engine_streams(tiny_model):
 def test_spec_long_prompt_block_prefill(tiny_model):
     """A prompt longer than FORCED_PROMPT_MAX takes the dedicated
     block-prefill path, then speculates; stream stays greedy."""
+    from tests.test_batch_engine import retry_compile_lottery
+
     params, cfg = tiny_model
     long_prompt = [BOS_TOKEN] + [(3 + i) % 200 for i in range(60)]
-    be = make(params, cfg, spec="ngram", spec_k=4)
-    rid = be.submit(long_prompt, max_new=8)
-    out = be.run()
-    assert len(out[rid]) == 8
-    assert_greedy_consistent(params, cfg, long_prompt, out[rid],
-                             max_seq=96, tol=2e-1)
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        rid = be.submit(long_prompt, max_new=8)
+        out = be.run()
+        assert len(out[rid]) == 8
+        assert_greedy_consistent(params, cfg, long_prompt, out[rid],
+                                 max_seq=96, tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)
 
 
 def test_spec_sampled_request_falls_back(tiny_model):
     """A temperature>0 request makes rounds ineligible for spec blocks
     (acceptance is argmax-only); the engine must transparently fall
     back to scan chunks and still finish everything."""
+    from tests.test_batch_engine import retry_compile_lottery
+
     params, cfg = tiny_model
-    be = make(params, cfg, spec="ngram", spec_k=4)
-    r0 = be.submit(PROMPTS[0], max_new=8)                  # greedy
-    r1 = be.submit(PROMPTS[1], max_new=8, temperature=0.8)  # sampled
-    out = be.run()
-    assert len(out[r0]) == 8 and len(out[r1]) == 8
-    assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0],
-                             tol=2e-1)
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        r0 = be.submit(PROMPTS[0], max_new=8)                   # greedy
+        r1 = be.submit(PROMPTS[1], max_new=8, temperature=0.8)  # sampled
+        out = be.run()
+        assert len(out[r0]) == 8 and len(out[r1]) == 8
+        assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0],
+                                 tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)
 
 
 def test_spec_capacity_boundary(tiny_model):
     """Slots whose remaining cache rows are < T must not take a spec
     block (OOB scatter); the fallback chunk caps k and the request
     retires exactly at capacity."""
+    from tests.test_batch_engine import retry_compile_lottery
+
     params, cfg = tiny_model
-    be = make(params, cfg, spec="ngram", spec_k=4, max_seq=16)
-    rid = be.submit(PROMPTS[0], max_new=40)  # wants more than fits
-    out = be.run()
-    # 4 prompt tokens -> at most 16 - 4 generated... the scheduler
-    # retires at pos >= max_seq; stream must still be greedy
-    assert 0 < len(out[rid]) <= 16
-    assert_greedy_consistent(params, cfg, PROMPTS[0], out[rid],
-                             max_seq=32, tol=2e-1)
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4, max_seq=16)
+        rid = be.submit(PROMPTS[0], max_new=40)  # more than fits
+        out = be.run()
+        # 4 prompt tokens -> at most 16 - 4 generated; the scheduler
+        # retires at pos >= max_seq; stream must still be greedy
+        assert 0 < len(out[rid]) <= 16
+        assert_greedy_consistent(params, cfg, PROMPTS[0], out[rid],
+                                 max_seq=32, tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)
 
 
 def test_spec_unknown_mode_rejected(tiny_model):
     params, cfg = tiny_model
     with pytest.raises(ValueError, match="unknown spec mode"):
         make(params, cfg, spec="lookahead")
+
+
+def test_spec_throttles_on_low_acceptance():
+    """Non-repetitive streams (32000-vocab random model: proposals
+    fire but miss) must trip the adaptive throttle — spec rounds fall
+    back to scan chunks instead of paying a weight pass per token —
+    while the emitted stream stays greedy."""
+    from tests.test_batch_engine import (
+        assert_greedy_consistent,
+        retry_compile_lottery,
+    )
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=32000, seq_len=128)
+    params = synthetic_params(cfg, seed=4, tpu_layout=False,
+                              param_dtype=jnp.float32)
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        rid = be.submit([BOS_TOKEN, 9038, 2501, 263, 931], max_new=40)
+        out = be.run()
+        assert len(out[rid]) == 40
+        # blocks ran, acceptance was poor, throttle engaged
+        assert be.spec_stats["blocks"] >= 2
+        assert be.spec_stats["throttled_rounds"] > 0
+        assert_greedy_consistent(params, cfg,
+                                 [BOS_TOKEN, 9038, 2501, 263, 931],
+                                 out[rid], tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)

@@ -9,10 +9,10 @@ LOG=/tmp/chip_session
 mkdir -p $LOG
 
 # Stop dispatching new items near the round's end so the driver's own
-# bench.py run gets the chip to itself (round 2 ends ~epoch 1787009400;
-# items run <=15 min, so a ~50-min guard suffices; override with
-# CHIP_SESSION_DEADLINE).
-DEADLINE=${CHIP_SESSION_DEADLINE:-1787006400}
+# bench.py run gets the chip to itself (round-2 session extended at
+# epoch 1787006090 with ~12h of budget; items run <=15 min, so a
+# ~1h guard suffices; override with CHIP_SESSION_DEADLINE).
+DEADLINE=${CHIP_SESSION_DEADLINE:-1787038000}
 
 run() {  # run <name> <cmd...>
     if [ -n "${CHIP_SESSION_DRYRUN:-}" ]; then

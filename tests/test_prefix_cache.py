@@ -152,3 +152,32 @@ def test_disabled_by_default(model):
     assert be.prefix_cache is None
     rid = be.submit(LONG, max_new=4)
     assert len(be.run()[rid]) == 4
+
+
+def test_prefix_cache_composes_with_spec(model):
+    """Spec serving + prefix cache together: the second identical-prefix
+    request admits via a row copy (pos starts past the cached rows) and
+    spec blocks then run on top of it; the stream stays greedy. This is
+    the hot serving combo (shared system prompt + speculative decode)."""
+    from tests.test_batch_engine import retry_compile_lottery
+
+    params, cfg = model
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4,
+                  prefix_cache_size=2)
+        r0 = be.submit(LONG, max_new=8)
+        out0 = be.run()
+        assert be.prefix_cache.hits == 0
+        r1 = be.submit(LONG + [11, 12], max_new=8)
+        out1 = be.run()
+        assert be.prefix_cache.hits == 1
+        assert be.prefix_cache.rows_saved >= PREFILL_BLOCK
+        assert be.spec_stats["blocks"] > 0
+        assert len(out0[r0]) == 8 and len(out1[r1]) == 8
+        assert_greedy_consistent(params, cfg, LONG, out0[r0],
+                                 max_seq=256, tol=2e-1)
+        assert_greedy_consistent(params, cfg, LONG + [11, 12], out1[r1],
+                                 max_seq=256, tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)

@@ -166,12 +166,15 @@ class BatchEngine:
         self._slot_req: list[_Req | None] = [None] * n_slots
         self._pending: list[list[int]] = [[] for _ in range(n_slots)]
         self._next_id = 0
-        # serving speculative decoding (greedy slots only): decode runs
-        # as (S, T=spec_k+1) teacher-forced BLOCKS — prompt feed,
+        # serving speculative decoding: decode runs as
+        # (S, T=spec_k+1) teacher-forced BLOCKS — prompt feed,
         # prompt-lookup proposals, and plain decode unified in one
         # weight pass per block; each slot advances by its accepted
         # prefix + the model's correction token, so a block yields up
-        # to T exact greedy tokens per slot for one weight read.
+        # to T tokens per slot for one weight read. Greedy slots emit
+        # exact greedy tokens; sampled slots emit exact
+        # target-distribution samples (point-mass-draft rejection
+        # sampling — see _spec_block_fn).
         if spec is not None and spec != "ngram":
             raise ValueError(f"unknown spec mode {spec!r} "
                              "(supported: 'ngram')")
@@ -321,20 +324,42 @@ class BatchEngine:
     @functools.cached_property
     def _spec_block_fn(self):
         """One teacher-forced forward over (S, T) input blocks with
-        per-slot positions, returning the greedy argmax at every
+        per-slot positions, returning the model's token choice at every
         position — the serving verify step. One weight read serves up
         to T tokens per slot; decode is weight-bandwidth-bound, so the
         extra matmul/attention FLOPs of rejected positions are nearly
-        free at serving batch sizes."""
+        free at serving batch sizes.
 
-        @functools.partial(engine_jit, static_argnames=("attn_len",),
+        sampled=False: greedy argmax (no softmax/sort).
+        sampled=True: per-position nucleus sampling with the slot's own
+        temperature/top_p (sample_token_vec — the reference sampler
+        semantics). With a point-mass draft (prompt-lookup proposals),
+        Leviathan-style speculative rejection sampling reduces EXACTLY
+        to "sample y ~ p' and accept while y equals the proposal":
+        P(y = x) = p'(x) is the accept probability, and y | y != x is
+        the renormalized residual max(p' - delta_x, 0)/(1 - p'(x)) —
+        so acceptance-by-equality on these sampled tokens preserves the
+        target sampling distribution at every emitted position, and the
+        process-block walk is identical to the greedy one."""
+
+        @functools.partial(engine_jit,
+                           static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
-        def block(params, tokens, pos, cache, *, attn_len):
+        def block(params, tokens, pos, cache, coins, temps, topps, *,
+                  attn_len, sampled):
             logits, cache = self._fwd(
                 params, tokens, pos, cache, attn_len=attn_len,
                 act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
                 attn_impl=self.attn_impl, logits_all=True)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+            if not sampled:
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        cache)
+            S, T, V = logits.shape
+            rep = lambda x: jnp.repeat(x, T)  # slot params per position
+            toks = sample_token_vec(logits.reshape(S * T, V),
+                                    coins.reshape(S * T),
+                                    rep(temps), rep(topps))
+            return toks.reshape(S, T), cache
 
         return block
 
@@ -384,9 +409,17 @@ class BatchEngine:
                     # which plain padding never is beyond position fill
                     inputs[s, fill:] = inputs[s, fill - 1]
         attn_len = self._bucket_for(int(self.pos[list(active)].max()) + T)
+        # one reference-semantics coin per position (sampled blocks);
+        # greedy blocks take the no-softmax/no-sort argmax path
+        sampled = bool((self.slot_temp[list(active)] > 0.0).any())
+        coins = (jnp.asarray(
+            [[self.rng.random_f32() for _ in range(T)] for _ in range(S)],
+            jnp.float32) if sampled else jnp.zeros((S, T), jnp.float32))
         out, self.cache = self._spec_block_fn(
             self.params, jnp.asarray(inputs), jnp.asarray(self.pos),
-            self.cache, attn_len=attn_len)
+            self.cache, coins, jnp.asarray(self.slot_temp),
+            jnp.asarray(self.slot_topp), attn_len=attn_len,
+            sampled=sampled)
         owners = {s: self._slot_req[s] for s in active}
         start_pos = {s: int(self.pos[s]) for s in active}
         self.spec_stats["blocks"] += 1
@@ -395,12 +428,14 @@ class BatchEngine:
                 "proposing": proposing, "start_pos": start_pos, "T": T}
 
     def _process_spec_block(self, blk):
-        """Fetch a block's argmax outputs (host sync) and advance each
-        slot by its valid-input count: forced prompt tokens are always
-        valid; a proposal token is valid iff it equals the model's
-        output at the previous position. Emissions are the outputs from
-        the last forced position onward — the accepted prefix plus the
-        model's correction token, i.e. exact greedy tokens."""
+        """Fetch a block's outputs (host sync) and advance each slot by
+        its valid-input count: forced prompt tokens are always valid; a
+        proposal token is valid iff it equals the model's output at the
+        previous position. Emissions are the outputs from the last
+        forced position onward — the accepted prefix plus the model's
+        correction token: exact greedy tokens for greedy slots, exact
+        target-distribution samples for sampled slots (the correction
+        token is the residual-distribution draw — see _spec_block_fn)."""
         out = np.asarray(blk["out"])  # (S, T) — host sync unless the
         T = blk["T"]                  # caller pre-fetched (serve.py)
         results = []
@@ -458,13 +493,13 @@ class BatchEngine:
         return results
 
     def _spec_eligible(self, active):
-        """Spec blocks need all active slots greedy (acceptance is
-        argmax equality) and T rows of cache headroom per slot (the
+        """Spec blocks need T rows of cache headroom per slot (the
         block writes rows pos..pos+T-1; a slot near the boundary would
-        scatter out of bounds)."""
+        scatter out of bounds). Sampled slots are eligible too: with a
+        point-mass draft, acceptance-by-equality on sampled verify
+        tokens IS exact speculative rejection sampling (see
+        _spec_block_fn)."""
         if not active:
-            return False
-        if (self.slot_temp[list(active)] > 0.0).any():
             return False
         T = self.spec_k + 1
         return all(int(self.pos[s]) + T <= self.max_seq for s in active)
@@ -472,8 +507,9 @@ class BatchEngine:
     def dispatch_spec_round(self):
         """Admit + dispatch one speculative round WITHOUT the host
         sync: returns ("block", blk) for a spec block, ("chunk", rec)
-        when this round fell back to a scan chunk (a sampled slot or a
-        slot within T rows of the cache boundary), or None when idle.
+        when this round fell back to a scan chunk (no proposal fired,
+        the throttle is cooling down, or a slot sits within T rows of
+        the cache boundary), or None when idle.
         Callers (serve.py) can fetch the device result outside their
         engine lock; pair with _process_spec_block / _process_chunk."""
         self._admit()

@@ -576,8 +576,10 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--kv-quant", action="store_true")
     ap.add_argument("--spec", default=None, choices=["ngram"],
-                    help="speculative serving blocks (greedy slots "
-                         "only; sampled requests fall back per round)")
+                    help="speculative serving blocks: greedy slots "
+                         "emit exact greedy tokens, sampled slots "
+                         "exact target-distribution samples "
+                         "(point-mass-draft rejection sampling)")
     ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                     help="cache the KV rows of up to N prompt prefixes "

@@ -121,10 +121,10 @@ def test_spec_long_prompt_block_prefill(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
-def test_spec_sampled_request_falls_back(tiny_model):
-    """A temperature>0 request makes rounds ineligible for spec blocks
-    (acceptance is argmax-only); the engine must transparently fall
-    back to scan chunks and still finish everything."""
+def test_spec_mixed_sampled_and_greedy_rides_blocks(tiny_model):
+    """A temperature>0 request shares spec blocks with greedy slots
+    (point-mass-draft rejection sampling): both finish, blocks run, and
+    the greedy slot's stream is still exactly greedy-consistent."""
     from tests.test_batch_engine import retry_compile_lottery
 
     params, cfg = tiny_model
@@ -135,8 +135,65 @@ def test_spec_sampled_request_falls_back(tiny_model):
         r1 = be.submit(PROMPTS[1], max_new=8, temperature=0.8)  # sampled
         out = be.run()
         assert len(out[r0]) == 8 and len(out[r1]) == 8
+        assert be.spec_stats["blocks"] > 0
         assert_greedy_consistent(params, cfg, PROMPTS[0], out[r0],
                                  tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)
+
+
+def test_spec_sampled_deterministic_and_low_temp_greedy(tiny_model):
+    """Sampled spec blocks: (a) the coin stream makes runs reproducible
+    — same engine, RNG re-seeded, same stream bit-for-bit (same
+    executables, no compile lottery); (b) at near-zero temperature the
+    sampled path concentrates on the argmax, so the stream must be
+    greedy-consistent (the sampled block math degrades gracefully to
+    the greedy one)."""
+    from llama_cu_awq_tpu.sampling import XorshiftRNG
+    from tests.test_batch_engine import retry_compile_lottery
+
+    params, cfg = tiny_model
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        runs = []
+        for _ in range(2):
+            be.reset()
+            be.rng = XorshiftRNG(1234)
+            rid = be.submit(PROMPTS[2], max_new=10, temperature=0.7,
+                            topp=0.9)
+            runs.append(be.run()[rid])
+        assert runs[0] == runs[1]
+        assert be.spec_stats["blocks"] > 0  # stats reset per run
+
+        be.reset()
+        rid = be.submit(PROMPTS[2], max_new=10, temperature=1e-4)
+        out = be.run()[rid]
+        assert len(out) == 10
+        assert_greedy_consistent(params, cfg, PROMPTS[2], out, tol=2e-1)
+
+    retry_compile_lottery(scenario, attempts=3)
+
+
+def test_spec_sampled_acceptance_on_looping_stream(tiny_model):
+    """Low-temperature sampling on the looping tiny model: proposals
+    fire and get accepted through the SAMPLED verify path (acceptance
+    requires the sampled token to equal the proposal — at low
+    temperature the distribution is peaked, so loops still speculate
+    profitably)."""
+    from tests.test_batch_engine import retry_compile_lottery
+
+    params, cfg = tiny_model
+
+    def scenario():
+        be = make(params, cfg, spec="ngram", spec_k=4)
+        be.spec_min_accept = 0.0   # throttle off: probe acceptance only
+        rid = be.submit(PROMPTS[0], max_new=40, temperature=0.01)
+        out = be.run()
+        assert len(out[rid]) == 40
+        assert be.spec_stats["blocks"] > 0
+        assert be.spec_stats["proposed"] > 0
+        assert be.spec_stats["accepted"] > 0
 
     retry_compile_lottery(scenario, attempts=3)
 

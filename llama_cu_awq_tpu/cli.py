@@ -58,10 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(whole attention step - qkv split, RoPE, KV "
                          "quantize, attention - in one kernel)")
     ap.add_argument("--spec", default=None, choices=["ngram"],
-                    help="speculative decoding (greedy only, -t 0.0): "
-                         "prompt-lookup n-gram proposals verified in "
-                         "one teacher-forced pass; output is "
-                         "bit-identical to plain greedy decode")
+                    help="speculative decoding: prompt-lookup n-gram "
+                         "proposals verified in one teacher-forced "
+                         "pass; output is bit-identical to plain "
+                         "decode at any temperature (sampled verify "
+                         "reuses the exact upcoming sampler coins)")
     ap.add_argument("--spec-k", type=int, default=7, metavar="K",
                     help="speculation depth: proposed tokens per verify "
                          "(default 7)")

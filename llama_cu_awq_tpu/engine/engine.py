@@ -153,19 +153,17 @@ class InferenceEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self.kv_quant = kv_quant
-        # greedy speculative decoding (prompt-lookup): propose the k
-        # tokens that followed the most recent earlier occurrence of the
+        # speculative decoding (prompt-lookup): propose the k tokens
+        # that followed the most recent earlier occurrence of the
         # current n-gram, verify all of them in ONE teacher-forced
-        # forward. Greedy-only — acceptance is exact argmax equality, so
-        # the emitted stream is bit-identical to plain decode.
-        self.spec = spec if temperature == 0.0 else None
-        if spec and self.spec is None:
-            import warnings
-
-            warnings.warn("speculative decoding is greedy-only "
-                          "(acceptance = exact argmax match); ignoring "
-                          f"spec={spec!r} at temperature "
-                          f"{temperature}", stacklevel=2)
+        # forward. The emitted stream is bit-identical to plain decode
+        # in BOTH modes: greedy acceptance is exact argmax equality;
+        # sampled verify positions reuse the exact upcoming xorshift
+        # coins plain decode would draw (peeked, then consumed only for
+        # emitted tokens), so each position samples the same token from
+        # the same distribution — point-mass-draft rejection sampling
+        # with perfect coin alignment (see _spec_verify_fn).
+        self.spec = spec
         if spec is not None and spec not in (None, "ngram"):
             raise ValueError(f"unknown spec mode {spec!r} "
                              "(supported: 'ngram')")
@@ -273,26 +271,38 @@ class InferenceEngine:
     @functools.cached_property
     def _spec_verify_fn(self):
         """One teacher-forced forward over [last_token, p_1..p_k] that
-        returns the greedy argmax at every position: out[t] is the
-        model's true next token after consuming p_1..p_t, so the
-        longest prefix with out[t-1] == p_t is exactly the plain greedy
+        returns the model's token choice at every position: out[t] is
+        the model's true next token after consuming p_1..p_t, so the
+        longest prefix with out[t-1] == p_t is exactly the plain
         stream, and out at the first mismatch is the correction token —
         k+1 tokens of verified output for ONE weight pass when the
-        proposal holds. Cache rows written past the accepted prefix sit
-        at positions >= the rolled-back pos; every future step
-        overwrites row p before any step can attend to it, so they are
-        dead weight, never wrong reads (same argument as the post-EOS
-        rows in _decode_tokens)."""
+        proposal holds.
+
+        temperature == 0: argmax. temperature > 0: each position
+        samples with the reference sampler using the PEEKED upcoming
+        xorshift coin for that emitted step (coins[t] is exactly the
+        coin plain decode would draw there), so the sampled stream is
+        bit-identical to plain sampled decode too — acceptance by
+        equality on these draws is point-mass-draft rejection sampling.
+
+        Cache rows written past the accepted prefix sit at positions
+        >= the rolled-back pos; every future step overwrites row p
+        before any step can attend to it, so they are dead weight,
+        never wrong reads (same argument as the post-EOS rows in
+        _decode_tokens)."""
 
         @functools.partial(
             engine_jit, static_argnames=("attn_len",),
             donate_argnames=("cache",))
-        def verify(params, tokens, pos, cache, *, attn_len):
+        def verify(params, tokens, pos, cache, coins, *, attn_len):
             logits, cache = self._fwd(
                 params, tokens, pos, cache, attn_len=attn_len,
                 act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
                 attn_impl=self.attn_impl, logits_all=True)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+            if self.temperature == 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+            return sample_token(logits, coins, self.temperature,
+                                self.topp), cache
 
         return verify
 
@@ -301,9 +311,10 @@ class InferenceEngine:
 
     def _decode_tokens_spec(self, token_arr, max_steps: int,
                             stop_at_eos: bool = True, on_token=None):
-        """Speculative version of _decode_tokens (greedy, B=1): emits a
-        bit-identical token stream, host-syncing once per verify (or
-        falling back to plain device chunks while no n-gram matches)."""
+        """Speculative version of _decode_tokens (B=1): emits a
+        bit-identical token stream (greedy or sampled — see
+        _spec_verify_fn), host-syncing once per verify (or falling back
+        to plain device chunks while no n-gram matches)."""
         generated: list[int] = []
         last = int(np.asarray(token_arr)[0])
         while len(generated) < max_steps:
@@ -327,11 +338,23 @@ class InferenceEngine:
                 last = new[-1]
                 continue
             attn_len = self._bucket_for(self.pos + k + 1)
+            if self.temperature > 0.0:
+                # peek the next k+1 coins WITHOUT consuming: coins[t]
+                # is exactly the coin plain decode would draw at that
+                # emitted step; only len(emitted) are consumed below,
+                # so the stream stays aligned round to round
+                saved = self.rng.state
+                coins = jnp.asarray(
+                    [[self.rng.random_f32() for _ in range(k + 1)]],
+                    jnp.float32)
+                self.rng.state = saved
+            else:
+                coins = jnp.zeros((1, k + 1), jnp.float32)
             out, self.cache = self._spec_verify_fn(
                 self.params, jnp.asarray([[last] + prop], jnp.int32),
-                jnp.asarray([self.pos], jnp.int32), self.cache,
+                jnp.asarray([self.pos], jnp.int32), self.cache, coins,
                 attn_len=attn_len)
-            out = np.asarray(out)[0]  # (k+1,) true greedy continuations
+            out = np.asarray(out)[0]  # (k+1,) true plain-stream tokens
             m = 0
             while m < k and out[m] == prop[m]:
                 m += 1
@@ -382,8 +405,8 @@ class InferenceEngine:
 
     def _decode_auto(self, token_arr, max_steps: int,
                      stop_at_eos: bool = True, on_token=None):
-        """Dispatch to the speculative loop when enabled (greedy), else
-        the plain device-chunk loop."""
+        """Dispatch to the speculative loop when enabled, else the
+        plain device-chunk loop."""
         if self.spec:
             self._hist.append(int(np.asarray(token_arr)[0]))
             return self._decode_tokens_spec(token_arr, max_steps,

@@ -142,3 +142,45 @@ def test_dp_global_queue_bound(dp_setup):
         assert eng.stats()["rejected_requests"] == 1
     finally:
         httpd.server_close()
+
+
+def test_dp_composes_with_spec(dp_setup):
+    """dp replicas each running the speculative engine loop
+    (_loop_spec): concurrent mixed greedy/sampled requests all finish
+    across both replicas and spec blocks actually ran somewhere."""
+    cfg, params, tokenizer = dp_setup
+    from llama_cu_awq_tpu.serve import ServingEngine
+
+    engines = [BatchEngine(params, cfg, tokenizer, n_slots=1, max_seq=96,
+                           act_dtype=jnp.float32, matmul_impl="dequant",
+                           temperature=0.0, chunk_size=4, seed=s,
+                           spec="ngram", spec_k=4)
+               for s in (1, 2)]
+    eng = ServingEngine(engines, tokenizer)
+    eng.start()
+    try:
+        results = {}
+
+        def one(i, temp):
+            rid, q = eng.submit("a b a b a b", max_new=6,
+                                temperature=temp)
+            toks = []
+            while True:
+                item = q.get(timeout=600)
+                if item is None:
+                    break
+                toks.extend(item)
+            results[i] = toks
+
+        threads = [threading.Thread(target=one, args=(i, t))
+                   for i, t in enumerate([None, 0.7, None, 0.7])]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        assert all(len(v) >= 1 for v in results.values())
+        assert sum(be.spec_stats["blocks"] for be in engines) > 0
+        assert all(r.be.scheduler.num_active == 0 for r in eng.replicas)
+    finally:
+        eng.stop()

@@ -72,7 +72,7 @@ run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
 # 3. train the real model (TPU, ~10 min), full e2e incl. PPL parity
-run real_e2e bash tools/real_model_e2e.sh /root/data/tinyllama 3000
+run real_e2e bash tools/real_model_e2e.sh /tmp/tinyllama 3000
 
 # 4. long-context decode: 2K and 4K windows (untimed full-prompt
 # prefill, then 256 timed decode steps at depth — pure decode tok/s)

@@ -9,9 +9,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-OUT=${1:-/root/data/tinyllama}
+OUT=${1:-/tmp/tinyllama}
 STEPS=${2:-3000}
-CORPUS=/root/data/corpus
+CORPUS=${REAL_E2E_CORPUS:-/tmp/corpus}
 TOK=/root/reference/tokenizer.bin
 
 [ -f $CORPUS/train.txt ] || python tools/build_corpus.py --out $CORPUS

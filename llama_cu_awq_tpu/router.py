@@ -31,12 +31,33 @@ Test: tests/test_router.py (two real serve instances + router, CPU).
 
 from __future__ import annotations
 
+import http.client
 import json
+import socket
 import threading
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _ClientGone(Exception):
+    """The ROUTER'S CLIENT disconnected mid-relay. Distinguished from
+    backend failures so the handler neither marks the (healthy) backend
+    down nor replays the whole request at another backend just to fail
+    writing to the same dead client."""
+
+
+def _probe_tcp(base: str, timeout: float = 3.0) -> None:
+    """Fast TCP reachability check before the real request: a
+    black-holed host (powered off, firewalled DROP) would otherwise
+    stall urlopen's connect for minutes before failover. Raises OSError
+    (the caller's mark-down path) when unreachable."""
+    u = urllib.parse.urlparse(base)
+    port = u.port or (443 if u.scheme == "https" else 80)
+    with socket.create_connection((u.hostname, port), timeout=timeout):
+        pass
 
 
 class _Backend:
@@ -88,18 +109,21 @@ class Router:
             b.down_until = time.monotonic() + self.retry_s
 
     def stats(self) -> dict:
-        """Aggregate of live backend /stats plus router-side counters."""
+        """Aggregate of live backend /stats plus router-side counters.
+        Backends currently marked down are reported from router state
+        only — probing them serially would stall the aggregate call."""
         per = []
         for b in self.backends:
+            up = b.down_until <= time.monotonic()
             row = {"backend": b.base, "inflight": b.inflight,
-                   "served": b.served, "errors": b.errors,
-                   "up": b.down_until <= time.monotonic()}
-            try:
-                with urllib.request.urlopen(b.base + "/stats",
-                                            timeout=5) as r:
-                    row["stats"] = json.loads(r.read())
-            except (urllib.error.URLError, OSError, ValueError):
-                row["up"] = False
+                   "served": b.served, "errors": b.errors, "up": up}
+            if up:
+                try:
+                    with urllib.request.urlopen(b.base + "/stats",
+                                                timeout=5) as r:
+                        row["stats"] = json.loads(r.read())
+                except (urllib.error.URLError, OSError, ValueError):
+                    row["up"] = False
             per.append(row)
         return {"backends": per,
                 "slots": sum(p["stats"].get("slots", 0)
@@ -136,7 +160,8 @@ class _RouterHandler(BaseHTTPRequestHandler):
                         body = r.read()
                     self._raw(200, "application/json", body)
                     return
-                except (urllib.error.URLError, OSError):
+                except (urllib.error.URLError, OSError,
+                        http.client.HTTPException):
                     self.router.mark_down(b)
             self._json(503, {"error": "all backends down"})
         else:
@@ -145,15 +170,17 @@ class _RouterHandler(BaseHTTPRequestHandler):
     # -- POST -------------------------------------------------------
 
     def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)  # always drain: keep-alive sync
         if self.path not in self.FORWARD:
             self._json(404, {"error": "not found"})
             return
-        length = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(length)
         last_err = (503, {"error": "all backends down"})
         for b in self.router.candidates():
             self.router.acquire(b)
+            self._relay_started = False  # bytes sent to the client?
             try:
+                _probe_tcp(b.base)  # fast-fail black-holed hosts
                 req = urllib.request.Request(
                     b.base + self.path, data=body,
                     headers={"Content-Type": "application/json"})
@@ -163,43 +190,78 @@ class _RouterHandler(BaseHTTPRequestHandler):
                 return
             except urllib.error.HTTPError as e:
                 # backend answered: 4xx/5xx. 429/503 = that backend is
-                # full — try the next one; anything else (e.g. 400 bad
-                # request) is the client's answer, not a routing issue.
+                # full — try the next one (release ok=False: refused,
+                # not served); anything else (e.g. 400 bad request) is
+                # the client's answer, not a routing issue.
                 payload = e.read()
-                self.router.release(b, ok=True)
                 if e.code not in (429, 503):
+                    self.router.release(b, ok=True)
                     self._raw(e.code, "application/json", payload)
                     return
+                self.router.release(b, ok=False)
                 try:
                     last_err = (e.code, json.loads(payload))
                 except ValueError:
                     last_err = (e.code, {"error": "backend full"})
-            except (urllib.error.URLError, OSError):
+            except _ClientGone:
+                # the CLIENT died mid-relay: the backend is healthy —
+                # do not mark it down, do not replay the request, and
+                # do not write anything more to this connection
+                self.router.release(b, ok=True)
+                self.close_connection = True
+                return
+            except (urllib.error.URLError, OSError,
+                    http.client.HTTPException):
                 self.router.release(b, ok=False)
                 self.router.mark_down(b)
+                if self._relay_started:
+                    # headers/partial body already went out: a retry
+                    # or error JSON would interleave a second response
+                    # into the stream — terminate the connection and
+                    # let the client's SSE parser see the truncation
+                    self.close_connection = True
+                    return
         self._json(*last_err)
 
     def _relay(self, resp):
         """Stream a backend response through: SSE re-chunked as bytes
         arrive (time-to-first-token survives the hop), plain JSON sent
-        with Content-Length."""
+        with Content-Length. Sets self._relay_started once any bytes
+        have been written to the client (the caller must not write a
+        second response after that). Client-side write failures raise
+        _ClientGone so the caller never confuses them with a backend
+        failure (which would trigger mark-down + replay)."""
         ctype = resp.headers.get("Content-Type", "application/json")
-        if "text/event-stream" in ctype:
-            self.send_response(resp.status)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Cache-Control", "no-cache")
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
-            while True:
-                chunk = resp.read1(65536)
+        if "text/event-stream" not in ctype:
+            payload = resp.read()  # backend read OUTSIDE client writes
+            self._relay_started = True
+            try:
+                self._raw(resp.status, ctype, payload)
+            except OSError as e:
+                raise _ClientGone from e
+            return
+        while True:
+            # backend read FIRST: if it fails before any client write,
+            # _relay_started is still False and failover stays clean
+            chunk = resp.read1(65536)
+            try:
+                if not self._relay_started:
+                    self.send_response(resp.status)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    self._relay_started = True
                 if not chunk:
-                    break
-                self.wfile.write(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                    self.close_connection = True
+                    return
+                self.wfile.write(b"%x\r\n" % len(chunk) + chunk
+                                 + b"\r\n")
                 self.wfile.flush()
-            self.wfile.write(b"0\r\n\r\n")
-            self.close_connection = True
-        else:
-            self._raw(resp.status, ctype, resp.read())
+            except OSError as e:
+                raise _ClientGone from e
 
     # -- helpers ------------------------------------------------------
 

@@ -213,6 +213,11 @@ class ServingEngine:
                 with r.lock:
                     results = r.be._process_spec_block(payload)
             else:
+                # fetch the chunk's tokens OUTSIDE the lock too (same
+                # reason as the block path: the device wait must not
+                # stall submit/cancel handlers — this is the common
+                # path whenever the spec throttle is cooling down)
+                payload["toks"] = np.asarray(payload["toks"])
                 results = self._process(r, payload)
             self._route(r, results)
 

@@ -152,3 +152,29 @@ def test_router_all_down_503():
     finally:
         rhttpd.shutdown()
         rhttpd.server_close()
+
+
+def test_router_keepalive_404_drains_body(cluster):
+    """A POST to an unknown path must drain the request body before
+    answering 404, or the unread bytes desync the next request on the
+    same HTTP/1.1 keep-alive connection."""
+    import http.client
+
+    base, _, _ = cluster
+    host = base[len("http://"):]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        body = json.dumps({"input": "x" * 200}).encode()
+        conn.request("POST", "/v1/embeddings", body=body,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same socket: a desynced server would parse leftover body
+        # bytes as this request line and garble the response
+        conn.request("GET", "/health")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["status"] == "ok"
+    finally:
+        conn.close()

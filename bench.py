@@ -120,9 +120,24 @@ def main():
     from llama_cu_awq_tpu.engine import InferenceEngine
     from llama_cu_awq_tpu.models import synthetic_params
 
-    platform = jax.devices()[0].platform
+    # the axon TPU tunnel HANGS jax.devices() when it is down; probe
+    # with a deadline so an outage records a clear failure line in the
+    # driver log instead of hanging the round-end bench forever
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(1) as _ex:
+        try:
+            devs = _ex.submit(jax.devices).result(timeout=300)
+        except _cf.TimeoutError:
+            print("FATAL: device backend unreachable after 300s "
+                  "(TPU tunnel down?) — no benchmark possible",
+                  flush=True)
+            import os as _os
+
+            _os._exit(3)  # the probe thread is stuck; skip atexit
+    platform = devs[0].platform
     on_tpu = platform == "tpu"
-    log(f"platform: {platform}, devices: {jax.devices()}")
+    log(f"platform: {platform}, devices: {devs}")
 
     if args.config == "7b":
         cfg = LLAMA2_7B

@@ -165,6 +165,10 @@ class BatchEngine:
         self._requests: dict[int, _Req] = {}
         self._slot_req: list[_Req | None] = [None] * n_slots
         self._pending: list[list[int]] = [[] for _ in range(n_slots)]
+        # slot -> in-flight interleaved block-prefill job (_admit /
+        # _advance_prefill): long prompts prefill one block per decode
+        # round so admissions never stall the other slots' decode
+        self._prefill_jobs: dict[int, dict] = {}
         self._next_id = 0
         # serving speculative decoding: decode runs as
         # (S, T=spec_k+1) teacher-forced BLOCKS — prompt feed,
@@ -513,14 +517,22 @@ class BatchEngine:
         Callers (serve.py) can fetch the device result outside their
         engine lock; pair with _process_spec_block / _process_chunk."""
         self._admit()
+        self._advance_prefill()
         active = [s for s in range(self.n_slots)
                   if self._slot_req[s] is not None
+                  and s not in self._prefill_jobs
                   and int(self.pos[s]) < self.max_seq]
         if not active:
             return None
+        T = self.spec_k + 1
         for s in range(self.n_slots):
             if s not in active:
-                self.pos[s] = 0  # park free/capped slots
+                # park free/capped slots; mid-prefill slots park at the
+                # dead tail rows (see _dispatch_chunk — a spec block or
+                # fallback chunk writes at most T or chunk-k <= tail
+                # rows, both covered by _start_prefill's guarantee)
+                self.pos[s] = (self.max_seq - T
+                               if s in self._prefill_jobs else 0)
         throttled = self._spec_cooldown > 0
         want_block = False
         props = {}
@@ -579,6 +591,7 @@ class BatchEngine:
         self._requests = {}
         self._slot_req = [None] * self.n_slots
         self._pending = [[] for _ in range(self.n_slots)]
+        self._prefill_jobs = {}
         self._carry = np.zeros(self.n_slots, np.int32)
         self.spec_stats = {"blocks": 0, "consumed": 0, "proposed": 0,
                            "accepted": 0, "throttled_rounds": 0}
@@ -630,6 +643,7 @@ class BatchEngine:
         if where >= 0:  # occupied slot `where`
             self._slot_req[where] = None
             self._pending[where] = []
+            self._prefill_jobs.pop(where, None)
         return where != -1
 
     def drop_request(self, rid: int):
@@ -653,49 +667,109 @@ class BatchEngine:
                 self.pos[slot] = 0
                 self._pending[slot] = list(tokens)
             else:
-                # block-prefill all but the last prompt token on this
-                # slot's cache rows; the last token joins the forced
-                # stream so its logits come from the batched step
-                pos = 0
-                body = tokens[:-1]
-                if self.prefix_cache is not None:
-                    pos = self.prefix_cache.match(body)
-                    if pos:
-                        rows = self.prefix_cache.get(body, pos)
-                        self.cache = self._prefix_put_fn(
-                            self.cache, rows, jnp.asarray(slot, jnp.int32))
-                i = pos
-                while i < len(body):
-                    chunk = body[i:i + PREFILL_BLOCK]
-                    block = 1 if len(chunk) == 1 else PREFILL_BLOCK
-                    if pos + block > self.max_seq:
-                        # padded block would clamp the dynamic cache write
-                        # at the boundary (engine.py _prefill's fallback)
-                        block, chunk = 1, body[i:i + 1]
-                    padded = chunk + [0] * (block - len(chunk))
-                    attn_len = self._bucket_for(pos + block)
-                    self.cache = self._prefill_slot_fn(
-                        self.params, jnp.asarray([padded], jnp.int32),
-                        jnp.asarray(pos, jnp.int32), self.cache,
-                        jnp.asarray(slot, jnp.int32),
-                        block=block, attn_len=attn_len)
-                    pos += len(chunk)
-                    i += len(chunk)
-                if self.prefix_cache is not None:
-                    # store the freshly prefilled prefix (rows of a
-                    # causal model are final once written; decode only
-                    # writes rows >= len(tokens) - 1)
-                    ms = (len(body) // PREFILL_BLOCK) * PREFILL_BLOCK
-                    if ms >= PREFILL_BLOCK:
-                        self.prefix_cache.put(
-                            body, ms, self._prefix_get_fn(
-                                self.cache, jnp.asarray(slot, jnp.int32),
-                                m=ms))
-                self.pos[slot] = len(tokens) - 1
-                self._pending[slot] = [tokens[-1]]
+                self._start_prefill(slot, req)
             # self.last_token[slot] stays stale: the slot's first steps
             # are forced (mask on), so the carry value is never consumed
             # — and last_token may be an in-flight device slice here
+
+    # -- interleaved (chunked) block prefill ---------------------------
+    #
+    # A long prompt prefills block-by-block BETWEEN decode rounds
+    # instead of running to completion at admission: a 4K-token prompt
+    # would otherwise stall every other slot's decode for its entire
+    # compute-bound prefill (the "continuous" in continuous batching
+    # must hold through admission too — the reference has no analog,
+    # its one request IS the process, llama2_q4.cu:436-492).
+    # While a slot prefills, decode rounds park its garbage writes at
+    # the dead tail rows [max_seq - k, max_seq): those rows are beyond
+    # the prompt (guaranteed by the sync fallback below) and every row
+    # >= len(prompt) - 1 is rewritten with real values by the slot's
+    # own decode before any step can attend to it.
+
+    def _start_prefill(self, slot, req):
+        """Begin prefilling all but the last prompt token on the slot's
+        cache rows; the last token joins the forced stream so its
+        logits come from the batched step."""
+        tokens = req.prompt
+        body = tokens[:-1]
+        pos = 0
+        if self.prefix_cache is not None:
+            pos = self.prefix_cache.match(body)
+            if pos:
+                rows = self.prefix_cache.get(body, pos)
+                self.cache = self._prefix_put_fn(
+                    self.cache, rows, jnp.asarray(slot, jnp.int32))
+        # near the cache boundary the parked tail rows would land on
+        # prompt rows — rare (the request can generate at most one
+        # chunk), so just prefill synchronously there
+        tail = max(self.chunk_size,
+                   (self.spec_k + 1) if self.spec else 0)
+        job = {"req": req, "tokens": tokens, "body": body, "pos": pos}
+        if len(body) > self.max_seq - tail:
+            while not self._finish_or_step(slot, job):
+                pass
+        else:
+            self._prefill_jobs[slot] = job
+
+    def _finish_or_step(self, slot, job):
+        """Advance one PREFILL_BLOCK; on completion, hand the slot to
+        the forced stream. Returns the set of completed slots ({slot}
+        or empty)."""
+        body, pos = job["body"], job["pos"]
+        if pos < len(body):
+            chunk = body[pos:pos + PREFILL_BLOCK]
+            block = 1 if len(chunk) == 1 else PREFILL_BLOCK
+            if pos + block > self.max_seq:
+                # padded block would clamp the dynamic cache write at
+                # the boundary (engine.py _prefill's fallback)
+                block, chunk = 1, body[pos:pos + 1]
+            padded = chunk + [0] * (block - len(chunk))
+            attn_len = self._bucket_for(pos + block)
+            self.cache = self._prefill_slot_fn(
+                self.params, jnp.asarray([padded], jnp.int32),
+                jnp.asarray(pos, jnp.int32), self.cache,
+                jnp.asarray(slot, jnp.int32),
+                block=block, attn_len=attn_len)
+            job["pos"] = pos + len(chunk)
+        if job["pos"] < len(body):
+            return ()
+        tokens = job["tokens"]
+        if self.prefix_cache is not None:
+            # store the freshly prefilled prefix (rows of a causal
+            # model are final once written; decode only writes rows
+            # >= len(tokens) - 1)
+            ms = (len(body) // PREFILL_BLOCK) * PREFILL_BLOCK
+            if ms >= PREFILL_BLOCK:
+                self.prefix_cache.put(
+                    body, ms, self._prefix_get_fn(
+                        self.cache, jnp.asarray(slot, jnp.int32), m=ms))
+        self.pos[slot] = len(tokens) - 1
+        self._pending[slot] = [tokens[-1]]
+        return {slot}
+
+    def _advance_prefill(self):
+        """Advance every in-flight prefill job by one block per decode
+        round (each job's block rides the device queue between decode
+        chunks, so decoding slots never stall on an admission); when
+        NOTHING else can decode, drain the jobs at full speed instead —
+        there is no one to starve."""
+        for slot in list(self._prefill_jobs):
+            job = self._prefill_jobs[slot]
+            if self._slot_req[slot] is not job["req"] or job["req"].done:
+                del self._prefill_jobs[slot]  # cancelled mid-prefill
+        if not self._prefill_jobs:
+            return
+        decodable = any(
+            self._slot_req[s] is not None
+            and s not in self._prefill_jobs
+            and int(self.pos[s]) < self.max_seq
+            for s in range(self.n_slots))
+        while self._prefill_jobs:
+            for slot in list(self._prefill_jobs):
+                if self._finish_or_step(slot, self._prefill_jobs[slot]):
+                    del self._prefill_jobs[slot]
+            if decodable:
+                break
 
     def _dispatch_chunk(self):
         """Admit + enqueue one mixed prefill/decode chunk on the device
@@ -708,6 +782,7 @@ class BatchEngine:
         the host processes chunk N's tokens while chunk N+1 computes.
         """
         self._admit()
+        self._advance_prefill()
         # A slot already AT the cache boundary cannot take another step —
         # its scatter would write row max_seq of a max_seq-row cache
         # (out of bounds under mode="promise_in_bounds"). It only occurs
@@ -718,16 +793,25 @@ class BatchEngine:
         # record it as an owner, so its sampled junk is discarded.
         active = [s for s in range(self.n_slots)
                   if self._slot_req[s] is not None
+                  and s not in self._prefill_jobs
                   and int(self.pos[s]) < self.max_seq]
         if not active:
             return None
-        for s in range(self.n_slots):
-            if s not in active:
-                self.pos[s] = 0  # park free/capped slots BEFORE dispatch
         k = self.chunk_size
         # a slot near the cache boundary caps the chunk length
         for s in active:
             k = min(k, self.max_seq - int(self.pos[s]))
+        for s in range(self.n_slots):
+            if s in active:
+                continue
+            # park free/capped slots BEFORE dispatch. A slot mid-prefill
+            # parks at the dead TAIL rows instead: row 0 would overwrite
+            # its freshly prefilled prompt rows, while rows
+            # [max_seq - k, max_seq) are past its prompt (guaranteed at
+            # _start_prefill) and rewritten by its own decode before
+            # any step can attend to them
+            self.pos[s] = (self.max_seq - k
+                           if s in self._prefill_jobs else 0)
 
         forced = np.zeros((k, self.n_slots), np.int32)
         mask = np.zeros((k, self.n_slots), bool)

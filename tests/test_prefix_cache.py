@@ -91,6 +91,7 @@ def test_prefix_hit_rows_exact(model, kv_quant):
         n = len(LONG) - 1
         r1 = be.submit(LONG, max_new=8)
         be._admit()
+        be._advance_prefill()  # drain the interleaved prefill job
         cold = _snap_rows(be, n)
         out1 = be.run()[r1]
         assert be.prefix_cache.hits == 0 and be.prefix_cache.misses == 1
@@ -98,6 +99,7 @@ def test_prefix_hit_rows_exact(model, kv_quant):
         be.reset()  # keeps the prefix cache (rows only need weights)
         r2 = be.submit(LONG, max_new=8)
         be._admit()
+        be._advance_prefill()  # hit copies rows; job prefills the tail
         warm = _snap_rows(be, n)
         out2 = be.run()[r2]
         assert be.prefix_cache.hits == 1

@@ -55,6 +55,11 @@ def main():
                     help="capture a jax.profiler trace of run 0 into DIR")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
+    ap.add_argument("--admit-long", type=int, default=0, metavar="N",
+                    help="batch mode: every 4th request arrives with an "
+                         "N-token prompt (block-prefill admissions mixed "
+                         "into decode; LLAMA_TPU_SYNC_PREFILL=1 restores "
+                         "the stalling synchronous prefill for A/B)")
     ap.add_argument("--attn-impl", default=None,
                     choices=["flash", "batched", "batched_static",
                              "fused_step", "mono"],
@@ -236,9 +241,18 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
     from llama_cu_awq_tpu.engine.batch import BatchEngine
     from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
 
-    steps = min(args.steps, max_seq - 2 - args.prompt_len)
+    longest = max(args.prompt_len, args.admit_long)
+    steps = min(args.steps, max_seq - 2 - longest)
     prompts = [[BOS_TOKEN] + [5 + (i + j) % 500 for j in range(
         args.prompt_len - 1)] for i in range(args.requests)]
+    if args.admit_long:
+        # every 4th request arrives with a LONG prompt: its block
+        # prefill interleaves with (or, with LLAMA_TPU_SYNC_PREFILL=1,
+        # stalls) the other slots' decode — the admission-smoothness
+        # A/B for engine/batch.py _advance_prefill
+        for i in range(0, args.requests, 4):
+            prompts[i] = [BOS_TOKEN] + [7 + (i + j) % 500 for j in
+                                        range(args.admit_long - 1)]
 
     eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
@@ -275,7 +289,8 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
                   f"_r{args.requests}" + ("_kvq8" if args.kv_quant else "")
                   + (f"_tp{args.tp}" if args.tp > 1 else "")
-                  + (f"_spec{args.spec_k}" if args.spec else ""),
+                  + (f"_spec{args.spec_k}" if args.spec else "")
+                  + (f"_admL{args.admit_long}" if args.admit_long else ""),
         "value": round(best, 1),
         "unit": "tok/s",
         "vs_baseline": round(best / BASELINE_TOK_S, 4),

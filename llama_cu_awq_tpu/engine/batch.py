@@ -701,11 +701,16 @@ class BatchEngine:
                     self.cache, rows, jnp.asarray(slot, jnp.int32))
         # near the cache boundary the parked tail rows would land on
         # prompt rows — rare (the request can generate at most one
-        # chunk), so just prefill synchronously there
+        # chunk), so just prefill synchronously there.
+        # LLAMA_TPU_SYNC_PREFILL=1 forces the synchronous path
+        # everywhere (the measurement A/B for interleaved admission).
+        import os
+
         tail = max(self.chunk_size,
                    (self.spec_k + 1) if self.spec else 0)
         job = {"req": req, "tokens": tokens, "body": body, "pos": pos}
-        if len(body) > self.max_seq - tail:
+        if (len(body) > self.max_seq - tail
+                or os.environ.get("LLAMA_TPU_SYNC_PREFILL")):
             while not self._finish_or_step(slot, job):
                 pass
         else:

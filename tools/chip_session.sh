@@ -71,6 +71,15 @@ run bench_batched_fstep python -u bench.py --mode batch --slots 32 \
     --requests 64 --kv-quant --attn-impl fused_step --repeats 3
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
+# 2b. admission smoothness A/B: long-prompt admissions mixed into the
+# decode stream — interleaved prefill (default) vs the stalling
+# synchronous path (engine/batch.py _advance_prefill)
+run bench_admit_interleaved python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --admit-long 384 --repeats 3
+run bench_admit_sync env LLAMA_TPU_SYNC_PREFILL=1 python -u bench.py \
+    --mode batch --slots 32 --requests 64 --kv-quant --admit-long 384 \
+    --repeats 3
+
 # 3. train the real model (TPU, ~10 min), full e2e incl. PPL parity
 run real_e2e bash tools/real_model_e2e.sh /tmp/tinyllama 3000
 

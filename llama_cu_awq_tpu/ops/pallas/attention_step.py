@@ -141,21 +141,22 @@ def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
 
         @pl.when(a == 0)
         def _():
-            cos = cos_ref[:]                               # (1, D) f32
-            sin = sin_ref[:]
+            cos = cos_ref[0]                               # (1, D) f32
+            sin = sin_ref[0]
 
             def rope(x):  # (rows, D) f32 -> rotated f32
                 return x * cos + pltpu.roll(x, half, 1) * sin
 
             # --- split + rope ---
-            q = qkv_ref[:, :H * D].reshape(H, D).astype(jnp.float32)
+            qkv_row = qkv_ref[0]                           # (1, W)
+            q = qkv_row[:, :H * D].reshape(H, D).astype(jnp.float32)
             q_bf = rope(q).astype(jnp.bfloat16)
-            k = qkv_ref[:, H * D:(H + n_kv) * D].reshape(
+            k = qkv_row[:, H * D:(H + n_kv) * D].reshape(
                 n_kv, D).astype(jnp.float32)
             # parity: apply_rope returns act dtype (bf16); the cache
             # write and quantize_kv both consume that rounded value
             k_bf = rope(k).astype(jnp.bfloat16)
-            v_bf = qkv_ref[:, (H + n_kv) * D:].reshape(
+            v_bf = qkv_row[:, (H + n_kv) * D:].reshape(
                 n_kv, D).astype(jnp.bfloat16)
 
             # --- Q_bd: block-diagonal q (see batched_attention.py) ---
@@ -186,8 +187,8 @@ def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
                 vq = jnp.round(vf / vs_new)
                 kn_ref[0] = kq.astype(kv_dtype)
                 vn_ref[0] = vq.astype(kv_dtype)
-                ksn_ref[:] = jnp.swapaxes(ks_new, 0, 1)    # (1, n_kv)
-                vsn_ref[:] = jnp.swapaxes(vs_new, 0, 1)
+                ksn_ref[0] = jnp.swapaxes(ks_new, 0, 1)    # (1, n_kv)
+                vsn_ref[0] = jnp.swapaxes(vs_new, 0, 1)
                 # current-token contribution: identical math to a
                 # future step's cache read (codes -> bf16, scale post-dot)
                 online_update(
@@ -290,16 +291,20 @@ def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
         def sc_map(b, a, p):
             return (b, a, 0)
 
-    row = lambda b, a, p: (b, 0)  # noqa: E731
+    # per-row operands go in as (B, 1, width) so each block is
+    # (1, 1, width): a 2-D (1, width) block over a (B, width) array is
+    # illegal for B > 1 (sublane dim 1 is neither 8-divisible nor the
+    # full array dim) — the batch gate's B=4 case hit exactly that
+    row = lambda b, a, p: (b, 0, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((1, qkv.shape[1]), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, qkv.shape[1]), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_blk, n_kv, D), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_blk, n_kv, D), kv_map, memory_space=pltpu.VMEM),
     ]
-    args = [qkv, cos2.astype(jnp.float32), sinm.astype(jnp.float32),
-            k_cache, v_cache]
+    args = [qkv[:, None], cos2.astype(jnp.float32)[:, None],
+            sinm.astype(jnp.float32)[:, None], k_cache, v_cache]
     if quantized:
         in_specs += [
             pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
@@ -321,8 +326,8 @@ def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
                      memory_space=pltpu.VMEM),
     ]
     if quantized:
-        out_shape += [jax.ShapeDtypeStruct((B, n_kv), jnp.float32)] * 2
-        out_specs += [pl.BlockSpec((1, n_kv), row,
+        out_shape += [jax.ShapeDtypeStruct((B, 1, n_kv), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((1, 1, n_kv), row,
                                    memory_space=pltpu.VMEM)] * 2
 
     cost = pl.CostEstimate(
@@ -353,5 +358,6 @@ def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
         interpret=interpret,
     )(pos.astype(jnp.int32), *args)
     if quantized:
-        return outs[0], outs[1], outs[2], outs[3], outs[4]
+        return (outs[0], outs[1], outs[2],
+                outs[3].reshape(B, n_kv), outs[4].reshape(B, n_kv))
     return outs[0], outs[1], outs[2], None, None

@@ -257,9 +257,12 @@ def _make_chain_kernel(m, plans, offs, dim, hidden, gu_pad, eps,
                 out = jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0),
                               axis=1)
                 l_rows = jnp.swapaxes(al_ref[:], 0, 1)
+                # bf16-round through f32 storage: parity with the
+                # attention_step -> wo handoff, which is bf16
                 arow_ref[brow] = ((out / l_rows)[:H]
                                   .reshape(1, H * D)
-                                  .astype(jnp.bfloat16))
+                                  .astype(jnp.bfloat16)
+                                  .astype(jnp.float32))
 
         def accum_block(x_get, qw_ref, meta_ref, sl, chunks):
             """x_get(g) -> (m, 128) bf16 chunk group g of this block."""
@@ -333,7 +336,8 @@ def _make_chain_kernel(m, plans, offs, dim, hidden, gu_pad, eps,
                                         (m, 128), jnp.bfloat16)
                                 else:
                                     xcur_ref[:, dst] = arow_ref[
-                                        :, col:col + 128]
+                                        :, col:col + 128].astype(
+                                            jnp.bfloat16)
 
                 accum_block(lambda g: xcur_ref[:, g * 128:(g + 1) * 128],
                             qw0, mt0, sl, p0["chunks"])
@@ -705,7 +709,11 @@ def mono_layer(qkv, x_res, ffn_norm, wo, w_gate_up, w_down,
         pl.BlockSpec((1, a_blk, n_kv, D), kv_map,
                      memory_space=pltpu.VMEM),
     ]
-    args = [qkv.astype(jnp.bfloat16), cos2.astype(jnp.float32),
+    # qkv goes in as f32: the kernel reads one row at the DYNAMIC index
+    # b = gg // n_blocks, and Mosaic only allows dynamic sublane indexing
+    # on 32-bit types (bf16 packs 2 rows per sublane word — "cannot
+    # statically prove that index ... is a multiple of 2")
+    args = [qkv.astype(jnp.float32), cos2.astype(jnp.float32),
             sinm.astype(jnp.float32), k_cache, v_cache]
     if quantized:
         in_specs += [pl.BlockSpec((1, a_blk, n_kv), sc_map,
@@ -790,7 +798,9 @@ def mono_layer(qkv, x_res, ffn_norm, wo, w_gate_up, w_down,
             pltpu.VMEM((Hp, HD), jnp.float32),            # attn acc
             pltpu.VMEM((1, Hp), jnp.float32),             # running max
             pltpu.VMEM((1, Hp), jnp.float32),             # running denom
-            pltpu.VMEM((B, H * D), jnp.bfloat16),         # attention rows
+            # f32 (not bf16): written one row at a time at the dynamic
+            # slot index, which Mosaic forbids for packed dtypes
+            pltpu.VMEM((B, H * D), jnp.float32),          # attention rows
         ],
     )
     outs = pl.pallas_call(

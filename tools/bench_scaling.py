@@ -20,6 +20,11 @@ CPU smoke test (8 virtual devices, tiny model):
 Prints one JSON line per measured point plus a final efficiency line.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import argparse
 import json
 import sys

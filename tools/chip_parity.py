@@ -24,6 +24,11 @@ attention implementations (same bound the greedy-parity tests use); a
 miscompiled kernel is O(1) off, so the 8e-2 gate separates cleanly.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import json
 import os
 import sys

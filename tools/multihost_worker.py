@@ -17,6 +17,11 @@ The reference has no distributed story at all (SURVEY.md §2.4); this is
 the BASELINE.json multi-host capability path.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import argparse
 import sys
 

@@ -23,6 +23,11 @@ Example (one v5e chip, ~10 min):
         /root/reference/tokenizer.bin -i "The gradient of" -t 0.0
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import argparse
 import functools
 import json

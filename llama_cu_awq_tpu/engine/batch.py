@@ -346,7 +346,13 @@ class BatchEngine:
         target sampling distribution at every emitted position, and the
         process-block walk is identical to the greedy one."""
 
+        # the decode-tuned 12 MB scoped-vmem limit is too tight here:
+        # at (S, T) = (32, 8) XLA keeps the block's (256, d_pad) f32
+        # matmul outputs VMEM-resident (13.25 MB for qkv at 7B) and
+        # compilation fails on the limit; 32 MB admits every projection
+        # output while still excluding the (S*T, vocab) logits
         @functools.partial(engine_jit,
+                           tuned={"xla_tpu_scoped_vmem_limit_kib": 32768},
                            static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
         def block(params, tokens, pos, cache, coins, temps, topps, *,

@@ -24,4 +24,57 @@ run parity python -u tools/chip_parity.py $LOG
 run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
+# first chip run crashed on the decode-tuned scoped-vmem limit; the
+# spec-block jit now carries its own 32 MB limit
+run bench_batch_spec python -u bench.py --mode batch --slots 32 \
+    --requests 64 --kv-quant --spec ngram --repeats 3
+
+# capacity scaling: 64 int8-KV slots fit 16 GB at the 512 window
+# (weights amortize further; the s32 metric stays the driver default)
+run bench_batch_s64 python -u bench.py --mode batch --slots 64 \
+    --requests 128 --kv-quant --repeats 3
+
+# attention kernel attribution at the BATCH-1 decode shape: the XProf
+# arithmetic says einsum attention+glue+staging costs ~1.5 ms/step
+# (~47 us/layer) against a ~4 us/layer bandwidth bound — per-kernel
+# numbers decide whether a leaner kernel is worth building
+run mb_attn_b1 python -u tools/microbench_attn.py --batch 1
+run mb_attn_b1_w256 python -u tools/microbench_attn.py --batch 1 \
+    --window 256
+
+# Where does the remaining 1.2 ms of batch-1 exposure live? Fresh
+# XProf traces of the einsum base vs the (slower) chain kernel — the
+# comparison localizes what the chain serializes that XLA overlaps.
+run profile_base python -u bench.py --repeats 2 --profile $LOG/trace_base
+run profile_chain python -u bench.py --repeats 2 --chain \
+    --profile $LOG/trace_chain
+
+# Finer scoped-VMEM staging sweep around the round-1 optimum (12 MB
+# beat 6 and 64; the curve between 8 and 16 was never sampled).
+# LLAMA_TPU_COMPILER_OPTS is the supported per-compile tuning path
+# (global XLA_FLAGS do not reach the remote TPU compiler here).
+for kib in 8192 10240 14336 16384; do
+    run vmem_$kib env \
+        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
+        python -u bench.py --repeats 2
+done
+
+# Scoped-vmem x fused-kernel cross: on TPU the scoped pool ALSO bounds
+# Pallas kernel-internal VMEM (blocks + multiple-buffering). The big
+# fused kernels (chain / mono / fused_step) may have had their DMA
+# pipelines squeezed by the decode-tuned 12 MB limit — which would
+# explain why they all lose end-to-end while the plain int4 kernels
+# (~6-8 MB working set) run at SoL.
+for kib in 32768 65536; do
+    run chain_vmem_$kib env \
+        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
+        python -u bench.py --chain --repeats 3
+    run mono_vmem_$kib env \
+        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
+        python -u bench.py --attn-impl mono --repeats 3
+    run fstep_vmem_$kib env \
+        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
+        python -u bench.py --attn-impl fused_step --repeats 3
+done
+
 echo "=== chip followup complete $(date) ===" | tee -a $LOG/session.log

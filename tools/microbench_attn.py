@@ -103,6 +103,13 @@ def main():
                     iters=args.iters)
         report("einsum int8-dequant (engine fallback)", dt, kv_bytes)
 
+        # bf16 einsum — the actual batch-1 engine path
+        dt = timeit(
+            lambda qq, kk, vv, pp: _attention(qq[:, None], kk, vv, pp,
+                                              jnp.bfloat16, impl="einsum"),
+            q, k, v, posv, iters=args.iters)
+        report("einsum bf16 (batch-1 engine path)", dt, 2 * kv_bytes)
+
         # fused attention-step kernel (split+rope+quantize inside)
         from llama_cu_awq_tpu.ops.pallas.attention_step import (
             attention_step, rope_rows)

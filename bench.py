@@ -61,8 +61,8 @@ def main():
                          "into decode; LLAMA_TPU_SYNC_PREFILL=1 restores "
                          "the stalling synchronous prefill for A/B)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched", "batched_static",
-                             "fused_step", "mono"],
+                    choices=["auto", "einsum", "flash", "batched",
+                             "batched_static", "fused_step", "mono"],
                     help="Pallas decode-attention kernel (flash: long-"
                          "context blockwise; batched: serving shapes, "
                          "int8-KV-native; fused_step: whole attention "

@@ -50,8 +50,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="int8-quantize the KV cache (halves its memory "
                          "and bandwidth; near-lossless)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched", "batched_static",
-                             "fused_step", "mono"],
+                    choices=["auto", "einsum", "flash", "batched",
+                             "batched_static", "fused_step", "mono"],
                     help="Pallas decode-attention kernel: flash (long-"
                          "context blockwise), batched (serving "
                          "shapes, int8-KV-native), or fused_step "

@@ -146,7 +146,10 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.act_dtype = act_dtype
         self.matmul_impl = matmul_impl
-        self.attn_impl = attn_impl
+        # None -> "auto": per-bucket einsum/fused_step selection at the
+        # measured crossover (models/llama.forward); "einsum" forces
+        # the plain path
+        self.attn_impl = attn_impl if attn_impl is not None else "auto"
         self.max_seq = max_seq or cfg.seq_len
         self.temperature = temperature
         self.topp = topp

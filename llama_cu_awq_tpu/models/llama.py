@@ -18,6 +18,7 @@ accumulations and softmax in f32.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -466,6 +467,18 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     full_A0 = cache.k[0].shape[1] if cache.k else A
     shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
                  and full_A0 % 128 == 0 and H % KV == 0)
+    # attn_impl "auto" (the engines' default): einsum attention for
+    # shallow windows, the fused_step kernel once the window is deep
+    # enough that streaming the KV window through one kernel beats
+    # XLA's staged einsum fusions. Measured crossover on v5e 7B
+    # batch-1 decode (PERFORMANCE.md round-2 chip results): einsum
+    # wins at the 512 bucket (185.9 vs 176.6 tok/s), fused_step wins
+    # at the 2048 bucket (150.5 vs 119.4, +26%). attn_len is static
+    # under jit, so each bucket's step compiles its own choice.
+    if attn_impl == "auto":
+        thresh = int(os.environ.get("LLAMA_TPU_FSTEP_MIN_WINDOW", "1024"))
+        attn_impl = ("fused_step"
+                     if shapes_ok and fused and A >= thresh else None)
     # attn_impl "mono": the ENTIRE decoder layer (attention + all four
     # matmuls) as one Pallas launch (int4_chain.mono_layer); implies
     # the fused_step + chain design, falls back to fused_step when the

@@ -29,6 +29,13 @@ python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 run bench_batch_spec python -u bench.py --mode batch --slots 32 \
     --requests 64 --kv-quant --spec ngram --repeats 3
 
+# the 1024-bucket crossover point (einsum wins at 512, fused_step at
+# 2048/4096): decides LLAMA_TPU_FSTEP_MIN_WINDOW's default
+run bench_1k_base python -u bench.py --max-seq 1024 --prompt-len 832 \
+    --decode-steps 192 --repeats 3 --attn-impl einsum
+run bench_1k_fstep python -u bench.py --max-seq 1024 --prompt-len 832 \
+    --decode-steps 192 --repeats 3 --attn-impl fused_step
+
 # capacity scaling: 64 int8-KV slots fit 16 GB at the 512 window
 # (weights amortize further; the s32 metric stays the driver default)
 run bench_batch_s64 python -u bench.py --mode batch --slots 64 \

@@ -84,4 +84,10 @@ for kib in 32768 65536; do
         python -u bench.py --attn-impl fused_step --repeats 3
 done
 
+# 13B tiling: the first sweep's dependency chain broke on contracting
+# matmuls and its tile list missed 13B's non-power-of-2 divisors
+run sweep_13b python -u tools/sweep_int4.py --config 13b
+run bench_13b_2k python -u bench.py --config 13b --max-seq 2048 \
+    --prompt-len 1664 --decode-steps 256 --repeats 3
+
 echo "=== chip followup complete $(date) ===" | tee -a $LOG/session.log

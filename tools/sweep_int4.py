@@ -40,8 +40,11 @@ def main():
         def loop(x0):
             def body(x, _):
                 out = m.int4_matmul(x, qt)
-                x = (x * 0.999
-                     + out[..., : x.shape[-1]].astype(x.dtype) * 1e-6)
+                # scalar feedback: keeps the loop-carried dependency
+                # without assuming n_out >= n_in (the old column slice
+                # broke on contracting matmuls like 13B's down,
+                # 13824 -> 5120)
+                x = x * 0.999 + (jnp.sum(out) * 1e-9).astype(x.dtype)
                 return x, None
             return lax.scan(body, x0, None, length=iters)[0]
         j = jax.jit(loop)
@@ -60,9 +63,12 @@ def main():
         n_chunks = qt.n_pad // 512
         d_pad = qt.d_pad
         results = []
-        for tile_d in (1024, 2048, 4096):
-            if d_pad % tile_d:
-                continue
+        # all 128-multiple divisors of d_pad in [1024, 4096]: 13B's
+        # 5120/15360/27648-wide projections have non-power-of-2 tiles
+        # (2560, 3072, 3456) the power-of-2 list never visits
+        tiles = [t for t in range(1024, 4097, 128)
+                 if d_pad % t == 0] or [d_pad]
+        for tile_d in tiles:
             for chunks in (2, 4, 8):
                 if n_chunks % chunks:
                     continue

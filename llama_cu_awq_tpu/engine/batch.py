@@ -40,6 +40,7 @@ from jax import lax
 from llama_cu_awq_tpu.config import ModelConfig
 from llama_cu_awq_tpu.engine.engine import (
     PREFILL_BLOCK,
+    _impl_tuned,
     attn_buckets,
     engine_jit,
     make_engine_forward,
@@ -141,6 +142,7 @@ class BatchEngine:
         # measured crossover (models/llama.forward); "einsum" forces
         # the plain path
         self.attn_impl = attn_impl if attn_impl is not None else "auto"
+        self._step_tuned = _impl_tuned(self.attn_impl)
         self.temperature = temperature
         self.topp = topp
         self.rng = XorshiftRNG(seed)
@@ -230,7 +232,7 @@ class BatchEngine:
     def _prefill_slot_fn(self):
         """B=1 prefill over one slot's cache rows (slot index traced)."""
 
-        @functools.partial(engine_jit, static_argnames=("block", "attn_len"),
+        @functools.partial(engine_jit, tuned=self._step_tuned, static_argnames=("block", "attn_len"),
                            donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
             def take(arrs):
@@ -265,7 +267,7 @@ class BatchEngine:
         coins/forced/force_mask: (K, S); tokens: (S,) sampled carries.
         """
 
-        @functools.partial(engine_jit,
+        @functools.partial(engine_jit, tuned=self._step_tuned,
                            static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
         def chunk(params, tokens, pos, cache, coins, forced, force_mask,
@@ -297,7 +299,7 @@ class BatchEngine:
         """Copy cached prefix rows into rows [0, m) of one slot's cache
         (device-side dynamic_update_slice per layer; no compute)."""
 
-        @functools.partial(engine_jit, donate_argnames=("cache",))
+        @functools.partial(engine_jit, tuned=self._step_tuned, donate_argnames=("cache",))
         def put(cache, rows, slot):
             def upd(full, part):
                 return [lax.dynamic_update_slice(
@@ -315,7 +317,7 @@ class BatchEngine:
     def _prefix_get_fn(self):
         """Read rows [0, m) of one slot out of the cache (static m)."""
 
-        @functools.partial(engine_jit, static_argnames=("m",))
+        @functools.partial(engine_jit, tuned=self._step_tuned, static_argnames=("m",))
         def get(cache, slot, *, m):
             def take(arrs):
                 return [lax.dynamic_slice(
@@ -355,7 +357,8 @@ class BatchEngine:
         # compilation fails on the limit; 32 MB admits every projection
         # output while still excluding the (S*T, vocab) logits
         @functools.partial(engine_jit,
-                           tuned={"xla_tpu_scoped_vmem_limit_kib": 32768},
+                           tuned={**(self._step_tuned or {}),
+                                  "xla_tpu_scoped_vmem_limit_kib": 32768},
                            static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
         def block(params, tokens, pos, cache, coins, temps, topps, *,

@@ -104,6 +104,18 @@ def engine_jit(fun=None, **kw):
 _DEFAULT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "12288"}
 
 
+def _impl_tuned(attn_impl: str | None) -> dict | None:
+    """Per-impl compiler-option overrides for the engine step jits.
+
+    The scoped-vmem pool bounds BOTH XLA's weight staging and the Pallas
+    kernels' own block/scratch buffers: the mono-layer kernel's stack is
+    17.9 MB at 7B shapes, so the decode-tuned 12 MB limit makes its
+    compile fail outright (measured; PERFORMANCE.md round-2 notes)."""
+    if attn_impl == "mono":
+        return {"xla_tpu_scoped_vmem_limit_kib": 32768}
+    return None
+
+
 def make_engine_forward(cfg: ModelConfig, mesh):
     """The engines' model-step callable: `forward` with cfg bound when
     single-device, or the shard_map-wrapped tensor-parallel forward when
@@ -150,6 +162,7 @@ class InferenceEngine:
         # measured crossover (models/llama.forward); "einsum" forces
         # the plain path
         self.attn_impl = attn_impl if attn_impl is not None else "auto"
+        self._step_tuned = _impl_tuned(self.attn_impl)
         self.max_seq = max_seq or cfg.seq_len
         self.temperature = temperature
         self.topp = topp
@@ -205,7 +218,7 @@ class InferenceEngine:
     @functools.cached_property
     def _decode_fn(self):
         @functools.partial(
-            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, tuned=self._step_tuned, static_argnames=("attn_len",), donate_argnames=("cache",))
         def step(params, token, pos, cache, coin, *, attn_len):
             logits, cache = self._fwd(
                 params, token[:, None], pos, cache,
@@ -226,7 +239,7 @@ class InferenceEngine:
         once per chunk instead of once per token."""
 
         @functools.partial(
-            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, tuned=self._step_tuned, static_argnames=("attn_len",), donate_argnames=("cache",))
         def chunk(params, token, pos, cache, coins, *, attn_len):
             def body(carry, coin):
                 token, pos, cache = carry
@@ -255,7 +268,7 @@ class InferenceEngine:
         PREFILL_BLOCK pass by a wide margin."""
 
         @functools.partial(
-            engine_jit, static_argnames=("attn_len",), donate_argnames=("cache",))
+            engine_jit, tuned=self._step_tuned, static_argnames=("attn_len",), donate_argnames=("cache",))
         def chunk(params, tokens, pos, cache, *, attn_len):
             def body(carry, tok):
                 pos, cache = carry
@@ -295,7 +308,7 @@ class InferenceEngine:
         _decode_tokens)."""
 
         @functools.partial(
-            engine_jit, static_argnames=("attn_len",),
+            engine_jit, tuned=self._step_tuned, static_argnames=("attn_len",),
             donate_argnames=("cache",))
         def verify(params, tokens, pos, cache, coins, *, attn_len):
             logits, cache = self._fwd(
@@ -387,7 +400,7 @@ class InferenceEngine:
     @functools.cached_property
     def _prefill_fn(self):
         @functools.partial(
-            engine_jit, static_argnames=("block", "attn_len", "logits_all"),
+            engine_jit, tuned=self._step_tuned, static_argnames=("block", "attn_len", "logits_all"),
             donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, *, block, attn_len,
                     logits_all):

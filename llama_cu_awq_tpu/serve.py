@@ -580,11 +580,15 @@ def main(argv=None) -> int:
     ap.add_argument("-s", dest="seed", type=int, default=0)
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--kv-quant", action="store_true")
-    ap.add_argument("--spec", default=None, choices=["ngram"],
-                    help="speculative serving blocks: greedy slots "
-                         "emit exact greedy tokens, sampled slots "
-                         "exact target-distribution samples "
-                         "(point-mass-draft rejection sampling)")
+    ap.add_argument("--spec", default="ngram", choices=["ngram", "none"],
+                    help="speculative serving blocks (default on: +39%% "
+                         "aggregate measured on v5e, output streams "
+                         "bit-exact vs plain decode — greedy slots emit "
+                         "exact greedy tokens, sampled slots exact "
+                         "target-distribution samples via point-mass-"
+                         "draft rejection sampling; an adaptive "
+                         "throttle pauses proposals on traffic where "
+                         "they stop paying). 'none' disables")
     ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                     help="cache the KV rows of up to N prompt prefixes "
@@ -649,7 +653,8 @@ def main(argv=None) -> int:
             params, ckpt.config, tokenizer, n_slots=args.slots,
             max_seq=args.max_seq, temperature=args.temperature,
             topp=args.topp, seed=args.seed + i, kv_quant=args.kv_quant,
-            matmul_impl=args.matmul_impl, spec=args.spec,
+            matmul_impl=args.matmul_impl,
+            spec=None if args.spec == "none" else args.spec,
             spec_k=args.spec_k, prefix_cache_size=args.prefix_cache,
             chunk_size=args.chunk_size, mesh=mesh))
     httpd, eng = make_server(engines if args.dp > 1 else engines[0],

@@ -42,6 +42,19 @@ run gemv_tile10 env LLAMA_GEMV_TILE_MB=11 \
     LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=26624 \
     python -u bench.py --repeats 3
 
+# PPL-parity gate for the quantized lm_head options on the REAL model
+# (real_model_e2e.sh artifacts): bf16-head geomean was 10.396772. If
+# the int8/w4 head stays within the BASELINE 0.05 bar, it is a
+# defensible speed default (reported alongside, never silently).
+if [ -f /tmp/tinyllama/model.bin ]; then
+    run ppl_head8 python -m llama_cu_awq_tpu /tmp/tinyllama/model.bin \
+        -z /root/reference/tokenizer.bin -m perplexity \
+        -q /tmp/corpus/valid.txt --lm-head-bits 8
+    run ppl_head4 python -m llama_cu_awq_tpu /tmp/tinyllama/model.bin \
+        -z /root/reference/tokenizer.bin -m perplexity \
+        -q /tmp/corpus/valid.txt --lm-head-bits 4
+fi
+
 # Scheduler/MSA flag probes, chosen from the trace evidence (0.69 ms
 # of staging copies + 0.68 ms of slice-done waits sit ON the core
 # timeline per step) and libtpu's actual flag inventory:

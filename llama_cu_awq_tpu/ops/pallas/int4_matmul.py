@@ -97,6 +97,18 @@ def _make_kernel_douter(chunks: int):
     return _kernel
 
 
+# Per-shape tiling winners from on-chip sweeps (tools/sweep_int4.py)
+# where they beat _pick_tiling_default's power-of-two heuristic.
+# Keyed by (n_chunks, d_pad); v5e, round-2 sweep: the 13B projections
+# gained 5-17% per kernel from non-power-of-2 tiles.
+_TUNED_TILING = {
+    (10, 15360): (1920, 2),   # 13B qkv   (134.2 us vs 146.7)
+    (10, 5120): (2560, 2),    # 13B o     ( 98.5 us vs 103.4)
+    (10, 27648): (2304, 2),   # 13B gate_up (182.4 us vs 219.7)
+    (28, 5120): (2560, 4),    # 13B down  (133.9 us vs 150.7)
+}
+
+
 def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
     import os
 
@@ -105,6 +117,9 @@ def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
         t, c = (int(v) for v in override.split(","))
         if d_pad % t == 0 and n_chunks % c == 0:
             return t, c
+    tuned = _TUNED_TILING.get((n_chunks, d_pad))
+    if tuned is not None:
+        return tuned
     return _pick_tiling_default(n_chunks, d_pad)
 
 

@@ -19,6 +19,14 @@ run() {
     tail -4 $LOG/$1.log | tee -a $LOG/session.log
 }
 
+# 7B resweep with the widened tile list (the round-1 sweep only tried
+# powers of two; 13B's widened sweep just won 5-17% per kernel)
+run sweep_7b python -u tools/sweep_int4.py --config 7b
+
+# 13B end-to-end with the sweep winners (now the in-code tuned table,
+# ops/pallas/int4_matmul._TUNED_TILING); A/B against 84.87 baseline
+run bench_13b_tuned python -u bench.py --config 13b --repeats 3
+
 # the 1K einsum crossover point (first attempt raced a live code edit)
 run bench_1k_base python -u bench.py --max-seq 1024 --prompt-len 832 \
     --decode-steps 192 --repeats 3 --attn-impl einsum

@@ -119,7 +119,9 @@ def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
             return t, c
     tuned = _TUNED_TILING.get((n_chunks, d_pad))
     if tuned is not None:
-        return tuned
+        t, c = tuned
+        if d_pad % t == 0 and n_chunks % c == 0 and c % 2 == 0:
+            return tuned
     return _pick_tiling_default(n_chunks, d_pad)
 
 

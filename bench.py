@@ -106,6 +106,17 @@ def main():
         cfg_t = tuned.get(key, {})
         args.attn_impl = cfg_t.get("attn_impl")
         args.chain = bool(cfg_t.get("chain"))
+        # quantized-lm_head / chunk-size / compiler-flag defaults are
+        # promoted by tools/pick_bench_defaults.py only when measured
+        # faster AND (for the head) PPL-gated on the real model —
+        # explicit flags and a preset LLAMA_TPU_COMPILER_OPTS still win
+        if args.lm_head_bits is None and cfg_t.get("lm_head_bits"):
+            args.lm_head_bits = int(cfg_t["lm_head_bits"])
+        if args.chunk_size is None and cfg_t.get("chunk_size"):
+            args.chunk_size = int(cfg_t["chunk_size"])
+        if (cfg_t.get("compiler_opts")
+                and "LLAMA_TPU_COMPILER_OPTS" not in os.environ):
+            os.environ["LLAMA_TPU_COMPILER_OPTS"] = cfg_t["compiler_opts"]
         log(f"tuned defaults ({key}) from bench_defaults.json: {cfg_t}")
 
     if args.chain:
@@ -219,6 +230,7 @@ def main():
     result = {
         "metric": f"decode_tok_s_{args.config}_w4g128_b1"
                   + (f"_tp{args.tp}" if args.tp > 1 else "")
+                  + (f"_lmh{args.lm_head_bits}" if args.lm_head_bits else "")
                   + (f"_spec{args.spec_k}" if args.spec else "")
                   + (f"_ctx{args.prompt_len}" if args.decode_steps
                      else ""),

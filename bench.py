@@ -77,9 +77,10 @@ def main():
     ap.add_argument("--chain", action="store_true",
                     help="single-launch o-proj+FFN chain kernel "
                          "(ops/pallas/int4_chain.py)")
-    ap.add_argument("--spec", default=None, choices=["ngram"],
+    ap.add_argument("--spec", default=None, choices=["ngram", "none"],
                     help="greedy speculative decoding (prompt-lookup); "
-                         "decode mode only")
+                         "decode mode only; 'none' forces plain decode "
+                         "when bench_defaults.json promotes spec")
     ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--platform", default=None,
                     help="override the JAX platform (e.g. cpu for a "
@@ -114,6 +115,16 @@ def main():
             args.lm_head_bits = int(cfg_t["lm_head_bits"])
         if args.chunk_size is None and cfg_t.get("chunk_size"):
             args.chunk_size = int(cfg_t["chunk_size"])
+        # speculative decoding is promotable too: greedy spec decode is
+        # LOSSLESS (the output stream is bit-identical to plain decode,
+        # tests/test_spec_decode.py), so a chip-measured win is a fair
+        # default for the tokens/s headline
+        if args.spec is None and cfg_t.get("spec"):
+            args.spec = cfg_t["spec"]
+            if cfg_t.get("spec_k"):
+                args.spec_k = int(cfg_t["spec_k"])
+    if args.spec == "none":
+        args.spec = None
         if (cfg_t.get("compiler_opts")
                 and "LLAMA_TPU_COMPILER_OPTS" not in os.environ):
             os.environ["LLAMA_TPU_COMPILER_OPTS"] = cfg_t["compiler_opts"]

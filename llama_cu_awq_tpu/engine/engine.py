@@ -91,9 +91,11 @@ def engine_jit(fun=None, **kw):
     opts = dict(_DEFAULT_COMPILER_OPTS) if _on_tpu() else {}
     if tuned and _on_tpu():
         opts.update({k: str(v) for k, v in tuned.items()})
-    opts.update(p.split("=", 1)
-                for p in os.environ.get(
-                    "LLAMA_TPU_COMPILER_OPTS", "").split(",") if p)
+    if _on_tpu():  # the option names are TPU-only; CPU compiles reject them
+        opts.update(p.split("=", 1)
+                    for p in (q.strip() for q in os.environ.get(
+                        "LLAMA_TPU_COMPILER_OPTS", "").split(","))
+                    if "=" in p)
     if opts:
         kw.setdefault("compiler_options", opts)
     if fun is None:

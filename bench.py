@@ -237,6 +237,15 @@ def main():
             f"{len(tokens) if untimed_prefill else steps - 1} timed "
             f"steps in {dt:.3f}s -> {tok_s:.2f} tok/s")
         best = max(best, tok_s)
+    if args.spec:
+        # transparency: spec tok/s depends on proposal acceptance, which
+        # depends on output content (synthetic random-weight output is
+        # more repetitive than real prose) — always print the rate
+        ss = engine.spec_stats
+        if ss.get("proposed"):
+            log(f"spec acceptance: {ss['accepted']}/{ss['proposed']} "
+                f"({ss['accepted']/ss['proposed']:.1%}) over "
+                f"{ss['verifies']} verifies")
 
     result = {
         "metric": f"decode_tok_s_{args.config}_w4g128_b1"

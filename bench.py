@@ -123,12 +123,12 @@ def main():
             args.spec = cfg_t["spec"]
             if cfg_t.get("spec_k"):
                 args.spec_k = int(cfg_t["spec_k"])
-    if args.spec == "none":
-        args.spec = None
         if (cfg_t.get("compiler_opts")
                 and "LLAMA_TPU_COMPILER_OPTS" not in os.environ):
             os.environ["LLAMA_TPU_COMPILER_OPTS"] = cfg_t["compiler_opts"]
         log(f"tuned defaults ({key}) from bench_defaults.json: {cfg_t}")
+    if args.spec == "none":
+        args.spec = None
 
     if args.chain:
         os.environ["LLAMA_TPU_CHAIN"] = "1"

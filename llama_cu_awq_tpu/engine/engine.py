@@ -65,6 +65,15 @@ def propose_ngram(hist, k: int, ns=(3, 2)) -> list[int] | None:
     return None
 
 
+_WARNED: set = set()
+
+
+def _warn_once(msg: str) -> None:
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+
+
 def engine_jit(fun=None, **kw):
     """jax.jit with tuned XLA compiler options for the engine's step
     functions.
@@ -91,11 +100,22 @@ def engine_jit(fun=None, **kw):
     opts = dict(_DEFAULT_COMPILER_OPTS) if _on_tpu() else {}
     if tuned and _on_tpu():
         opts.update({k: str(v) for k, v in tuned.items()})
-    if _on_tpu():  # the option names are TPU-only; CPU compiles reject them
-        opts.update(p.split("=", 1)
-                    for p in (q.strip() for q in os.environ.get(
-                        "LLAMA_TPU_COMPILER_OPTS", "").split(","))
-                    if "=" in p)
+    env_opts = os.environ.get("LLAMA_TPU_COMPILER_OPTS", "")
+    if env_opts and not _on_tpu():
+        # the option names are TPU-only; CPU compiles reject them — but
+        # don't let a typo'd/CPU-run env var pass silently
+        _warn_once("LLAMA_TPU_COMPILER_OPTS is set but the platform is "
+                   "not TPU — compiler options ignored")
+    if _on_tpu():
+        for p in (q.strip() for q in env_opts.split(",")):
+            if not p:
+                continue
+            if "=" not in p:
+                _warn_once(f"LLAMA_TPU_COMPILER_OPTS entry {p!r} has no "
+                           "'=' — skipped")
+                continue
+            k, v = p.split("=", 1)
+            opts[k] = v
     if opts:
         kw.setdefault("compiler_options", opts)
     if fun is None:

@@ -80,6 +80,84 @@ def _make_kernel_dinner(chunks: int, tile_d: int):
     return _kernel
 
 
+def _mdma_prologue(qw_hbm, meta_hbm, qw_buf, meta_buf, sem, k, *,
+                   chunks: int, tile_d: int, d_tiles: int, total: int,
+                   n_buf: int):
+    """Manual double/deep-buffered weight streaming (HBM -> VMEM scratch),
+    replacing the auto-pipeline's BlockSpec DMAs for qw/meta. The inputs
+    arrive with memory_space=ANY, so XLA's memory-space-assignment pass
+    has NOTHING to stage around the kernel — the experiment PERFORMANCE.md
+    round-2 identified: MSA staging slices + slice-done waits were ~1.4 ms
+    of the 5.3 ms batch-1 step, but bounded staging also pre-warms each
+    kernel's DMA pipeline, so this variant must beat that trade on chip.
+
+    Block t of the flat d-inner grid walk (t = j * d_tiles + i) occupies
+    scratch slot t % n_buf; step k waits slot k % n_buf and tops up the
+    pipeline by starting block k + n_buf - 1. Returns ref views of the
+    current block's qw/meta scratch."""
+
+    def dma_pair(t, slot):
+        jj = t // d_tiles
+        ii = t % d_tiles
+        qsrc = qw_hbm.at[pl.ds(jj * (chunks * 64), chunks * 64),
+                         pl.ds(ii * tile_d, tile_d)]
+        msrc = meta_hbm.at[pl.ds(jj * (chunks * 8), chunks * 8),
+                           pl.ds(ii * tile_d, tile_d)]
+        return (pltpu.make_async_copy(qsrc, qw_buf.at[slot],
+                                      sem.at[slot, 0]),
+                pltpu.make_async_copy(msrc, meta_buf.at[slot],
+                                      sem.at[slot, 1]))
+
+    @pl.when(k == 0)
+    def _():
+        for t in range(min(n_buf, total)):
+            for c in dma_pair(t, t):
+                c.start()
+
+    @pl.when((k > 0) & (k + n_buf - 1 < total))
+    def _():
+        t = k + n_buf - 1
+        for c in dma_pair(t, t % n_buf):
+            c.start()
+
+    slot = k % n_buf
+    for c in dma_pair(k, slot):
+        c.wait()
+    return qw_buf.at[slot], meta_buf.at[slot]
+
+
+def _make_kernel_dinner_mdma(chunks: int, tile_d: int, d_tiles: int,
+                             total: int, n_buf: int):
+    """Manual-DMA version of the d-inner kernel (see _mdma_prologue)."""
+
+    def _kernel(x_ref, qw_hbm, meta_hbm, o_ref, qw_buf, meta_buf, sem):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        k = j * d_tiles + i
+        qw_ref, meta_ref = _mdma_prologue(
+            qw_hbm, meta_hbm, qw_buf, meta_buf, sem, k, chunks=chunks,
+            tile_d=tile_d, d_tiles=d_tiles, total=total, n_buf=n_buf)
+        sl = pl.ds(i * tile_d, tile_d)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:, sl] = jnp.zeros((o_ref.shape[0], tile_d), jnp.float32)
+
+        o_ref[:, sl] = _accumulate(x_ref, qw_ref, meta_ref,
+                                   o_ref[:, sl], chunks)
+
+    return _kernel
+
+
+def _mdma_n_buf() -> int:
+    """0 = auto-pipeline (default); N>=2 = manual-DMA streaming with an
+    N-deep scratch ring (LLAMA_INT4_MANUAL_DMA=N; N=1 coerces to 2)."""
+    import os
+
+    v = int(os.environ.get("LLAMA_INT4_MANUAL_DMA", "0") or 0)
+    return max(v, 2) if v else 0
+
+
 def _make_kernel_douter(chunks: int):
     """Grid (d-tiles, n-tiles) with n INNER and a (M, TILE_D) output
     block accumulated across n-tiles. Used for large-M (prefill) where
@@ -165,8 +243,9 @@ def _pick_tiling_default(n_chunks: int, d_pad: int) -> tuple[int, int]:
 _DINNER_OUT_BYTES = 3 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _int4_matmul_2d(x2: jax.Array, qw, meta, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "manual_dma"))
+def _int4_matmul_2d(x2: jax.Array, qw, meta, *, interpret=False,
+                    manual_dma=0):
     m, n_pad = x2.shape
     rows, d_pad = qw.shape
     n_chunks = n_pad // PLANAR_BLOCK
@@ -181,6 +260,35 @@ def _int4_matmul_2d(x2: jax.Array, qw, meta, *, interpret=False):
         transcendentals=0,
     )
     if m * d_pad * 4 <= _DINNER_OUT_BYTES:
+        if manual_dma and chunks % 2 == 0:
+            # chunks must be even so the meta slice offset (chunks*8)
+            # keeps bf16's 16-row sublane granule
+            return pl.pallas_call(
+                _make_kernel_dinner_mdma(chunks, tile_d, d_tiles,
+                                         n_tiles * d_tiles, manual_dma),
+                grid=(n_tiles, d_tiles),
+                in_specs=[
+                    pl.BlockSpec((m, chunks * PLANAR_BLOCK),
+                                 lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((m, d_pad), lambda j, i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, d_pad), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((manual_dma, chunks * 64, tile_d),
+                               jnp.uint32),
+                    pltpu.VMEM((manual_dma, chunks * 8, tile_d),
+                               jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((manual_dma, 2)),
+                ],
+                cost_estimate=cost,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
+                interpret=interpret,
+            )(x2, qw, meta)
         return pl.pallas_call(
             _make_kernel_dinner(chunks, tile_d),
             grid=(n_tiles, d_tiles),
@@ -234,7 +342,8 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
     x2 = x.reshape(m, n_in).astype(jnp.bfloat16)
     if qt.n_pad != n_in:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.n_pad - n_in)))
-    out = _int4_matmul_2d(x2, qt.qw, qt.meta, interpret=interpret)
+    out = _int4_matmul_2d(x2, qt.qw, qt.meta, interpret=interpret,
+                          manual_dma=_mdma_n_buf())
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]  # drop zero-scale padding columns
     return out.reshape(*lead, qt.n_out)
@@ -260,6 +369,34 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
 # so a decoder layer becomes kernel->attention->kernel->kernel with only
 # rope/attention math between kernels, and the rms scale chains from one
 # kernel's epilogue to the next's prologue as a (m, 1) scalar.
+
+
+def _accumulate_glue(x_ref, u_ref, ss_ref, nw_ref, qw_ref, meta_ref, acc,
+                     chunks, *, has_norm: bool, has_silu: bool):
+    """Fused-variant inner loop: prologue (rmsnorm-apply or SwiGLU gate)
+    + pair-planar dequant dots, accumulated into acc (M, TILE_D) f32."""
+    for t in range(chunks):
+        words = qw_ref[t * 64:(t + 1) * 64, :]
+        for p in range(4):
+            g = t * 4 + p
+            gsl = pl.ds(g * 128, 128)
+            v = ((words >> (4 * p)) & _MASK) | _BF16_BIAS
+            q = pltpu.bitcast(v, jnp.bfloat16)
+            xi = x_ref[:, gsl]
+            if has_norm:
+                xi = (xi.astype(jnp.float32) * ss_ref[:]
+                      * nw_ref[:, gsl]).astype(jnp.bfloat16)
+            elif has_silu:
+                gf = xi.astype(jnp.float32)
+                xi = (gf * jax.nn.sigmoid(gf)
+                      * u_ref[:, gsl].astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+            part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
+            sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
+            s = meta_ref[2 * g, :].astype(jnp.float32)
+            z128 = meta_ref[2 * g + 1, :].astype(jnp.float32)
+            acc = acc + (part - sx * z128[None, :]) * s[None, :]
+    return acc
 
 
 def _make_kernel_fused(chunks: int, tile_d: int, n_tiles: int,
@@ -288,29 +425,67 @@ def _make_kernel_fused(chunks: int, tile_d: int, n_tiles: int,
             acc_ref[:, sl] = jnp.zeros((acc_ref.shape[0], tile_d),
                                        jnp.float32)
 
-        acc = acc_ref[:, sl]
-        for t in range(chunks):
-            words = qw_ref[t * 64:(t + 1) * 64, :]
-            for p in range(4):
-                g = t * 4 + p
-                gsl = pl.ds(g * 128, 128)
-                v = ((words >> (4 * p)) & _MASK) | _BF16_BIAS
-                q = pltpu.bitcast(v, jnp.bfloat16)
-                xi = x_ref[:, gsl]
-                if has_norm:
-                    xi = (xi.astype(jnp.float32) * ss_ref[:]
-                          * nw_ref[:, gsl]).astype(jnp.bfloat16)
-                elif has_silu:
-                    gf = xi.astype(jnp.float32)
-                    xi = (gf * jax.nn.sigmoid(gf)
-                          * u_ref[:, gsl].astype(jnp.float32)
-                          ).astype(jnp.bfloat16)
-                part = jnp.dot(xi, q, preferred_element_type=jnp.float32)
-                sx = jnp.sum(xi.astype(jnp.float32), axis=1, keepdims=True)
-                s = meta_ref[2 * g, :].astype(jnp.float32)
-                z128 = meta_ref[2 * g + 1, :].astype(jnp.float32)
-                acc = acc + (part - sx * z128[None, :]) * s[None, :]
-        acc_ref[:, sl] = acc
+        acc_ref[:, sl] = _accumulate_glue(
+            x_ref, u_ref, ss_ref, nw_ref, qw_ref, meta_ref,
+            acc_ref[:, sl], chunks, has_norm=has_norm, has_silu=has_silu)
+
+        @pl.when((j == n_tiles - 1) & (i == d_tiles - 1))
+        def _():
+            val = acc_ref[:]
+            if has_res:
+                val = val + res_ref[:].astype(jnp.float32)
+            out = val.astype(out_dtype)
+            o_ref[:] = out
+            if emit_ss:
+                of = out.astype(jnp.float32)
+                ssq = jnp.sum(of * of, axis=1, keepdims=True)
+                sso_ref[:] = jax.lax.rsqrt(ssq / n_real + eps)
+
+    return _kernel
+
+
+def _make_kernel_fused_mdma(chunks: int, tile_d: int, n_tiles: int,
+                            d_tiles: int, *, has_norm: bool,
+                            has_silu: bool, has_res: bool, emit_ss: bool,
+                            n_real: int, eps: float, out_dtype,
+                            n_buf: int):
+    """Manual-DMA version of the fused layer-step kernel: qw/meta arrive
+    in ANY memory space and stream through an n_buf-deep VMEM scratch
+    ring (see _mdma_prologue) instead of the auto-pipeline."""
+    total = n_tiles * d_tiles
+
+    def _kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        u_ref = next(it) if has_silu else None
+        ss_ref = next(it) if has_norm else None
+        nw_ref = next(it) if has_norm else None
+        qw_hbm = next(it)
+        meta_hbm = next(it)
+        res_ref = next(it) if has_res else None
+        o_ref = next(it)
+        sso_ref = next(it) if emit_ss else None
+        acc_ref = next(it)
+        qw_buf = next(it)
+        meta_buf = next(it)
+        sem = next(it)
+
+        j = pl.program_id(0)  # n-tile (outer)
+        i = pl.program_id(1)  # d-tile (inner)
+        k = j * d_tiles + i
+        qw_ref, meta_ref = _mdma_prologue(
+            qw_hbm, meta_hbm, qw_buf, meta_buf, sem, k, chunks=chunks,
+            tile_d=tile_d, d_tiles=d_tiles, total=total, n_buf=n_buf)
+        sl = pl.ds(i * tile_d, tile_d)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:, sl] = jnp.zeros((acc_ref.shape[0], tile_d),
+                                       jnp.float32)
+
+        acc_ref[:, sl] = _accumulate_glue(
+            x_ref, u_ref, ss_ref, nw_ref, qw_ref, meta_ref,
+            acc_ref[:, sl], chunks, has_norm=has_norm, has_silu=has_silu)
 
         @pl.when((j == n_tiles - 1) & (i == d_tiles - 1))
         def _():
@@ -329,9 +504,10 @@ def _make_kernel_fused(chunks: int, tile_d: int, n_tiles: int,
 
 @functools.partial(
     jax.jit, static_argnames=("emit_ss_eps", "out_dtype", "n_real",
-                              "interpret"))
+                              "interpret", "manual_dma"))
 def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
-                          out_dtype, n_real, interpret=False):
+                          out_dtype, n_real, interpret=False,
+                          manual_dma=0):
     m, n_pad = x2.shape
     rows, d_pad = qw.shape
     n_chunks = n_pad // PLANAR_BLOCK
@@ -344,6 +520,9 @@ def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
                          memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda j, i: (0, 0),  # noqa: E731
                                       memory_space=pltpu.VMEM)
+    if manual_dma and chunks % 2 != 0:
+        manual_dma = 0  # meta slice needs bf16's 16-row sublane granule
+
     in_specs, args = [xspec], [x2]
     if u2 is not None:
         in_specs.append(xspec)
@@ -355,12 +534,16 @@ def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
                                      lambda j, i: (0, j),
                                      memory_space=pltpu.VMEM))
         args.append(nw)
-    in_specs += [
-        pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunks * 8, tile_d), lambda j, i: (j, i),
-                     memory_space=pltpu.VMEM),
-    ]
+    if manual_dma:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+                     pl.BlockSpec(memory_space=pltpu.ANY)]
+    else:
+        in_specs += [
+            pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunks * 8, tile_d), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
     args += [qw, meta]
     if res is not None:
         in_specs.append(full((m, d_pad)))
@@ -378,18 +561,27 @@ def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
                         + m * d_pad * 4),
         transcendentals=m * n_pad if u2 is not None else 0,
     )
+    kw = dict(has_norm=ss is not None, has_silu=u2 is not None,
+              has_res=res is not None, emit_ss=emit_ss, n_real=n_real,
+              eps=emit_ss_eps if emit_ss else 0.0, out_dtype=out_dtype)
+    scratch = [pltpu.VMEM((m, d_pad), jnp.float32)]
+    if manual_dma:
+        kernel = _make_kernel_fused_mdma(chunks, tile_d, n_tiles, d_tiles,
+                                         n_buf=manual_dma, **kw)
+        scratch += [
+            pltpu.VMEM((manual_dma, chunks * 64, tile_d), jnp.uint32),
+            pltpu.VMEM((manual_dma, chunks * 8, tile_d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((manual_dma, 2)),
+        ]
+    else:
+        kernel = _make_kernel_fused(chunks, tile_d, n_tiles, d_tiles, **kw)
     outs = pl.pallas_call(
-        _make_kernel_fused(chunks, tile_d, n_tiles, d_tiles,
-                           has_norm=ss is not None, has_silu=u2 is not None,
-                           has_res=res is not None, emit_ss=emit_ss,
-                           n_real=n_real,
-                           eps=emit_ss_eps if emit_ss else 0.0,
-                           out_dtype=out_dtype),
+        kernel,
         grid=(n_tiles, d_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((m, d_pad), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
@@ -449,7 +641,7 @@ def int4_matmul_fused(x: jax.Array, qt: QTensorTPU, *,
     out, ss_out = _int4_matmul_fused_2d(
         x2, u2, ss, nw, qt.qw, qt.meta, res, emit_ss_eps=emit_ss_eps,
         out_dtype=jnp.dtype(out_dtype), n_real=qt.n_out,
-        interpret=interpret)
+        interpret=interpret, manual_dma=_mdma_n_buf())
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]
     out = out.reshape(*lead, qt.n_out)

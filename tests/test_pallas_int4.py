@@ -106,3 +106,39 @@ def test_forward_with_tpu_layout_matches_canonical(tiny_config):
     # planar weights carry bf16 scales (multiplicative <= 2^-8 per weight)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_manual_dma_single_tile_matches_oracle(rng, monkeypatch):
+    """Manual-DMA weight streaming (LLAMA_INT4_MANUAL_DMA): parity at a
+    single-grid-step shape. Multi-step grids hang under BOTH Pallas
+    interpreters on CPU (cross-grid-step DMA semaphore state is not
+    carried), so those are gated on real hardware instead: bitwise
+    vs the auto-pipeline at 7B shapes on chip (PERFORMANCE.md round 3)
+    and tools/chip_parity.py before any promotion."""
+    monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "2")
+    n, d = 1024, 128  # n_chunks=2, tile_d=128 -> grid (1, 1)
+    w = rng.standard_normal((n, d), dtype=np.float32) * 0.1
+    qt = to_tpu_layout(QTensor.quantize(w))
+    x = jnp.asarray(rng.standard_normal((1, n), dtype=np.float32),
+                    jnp.bfloat16)
+    out = np.asarray(int4_matmul(x, qt, interpret=True))
+    expect = np.asarray(x, np.float32) @ np.asarray(
+        qt.dequantize(jnp.float32))
+    np.testing.assert_allclose(out, expect, rtol=2e-2, atol=2e-3)
+
+
+def test_manual_dma_odd_chunks_falls_back(rng, monkeypatch):
+    """Odd chunk counts break the bf16 meta slice's 16-row sublane
+    granule; the dispatch must silently use the auto-pipeline (this
+    shape would otherwise hang interpret mode — a pass here IS the
+    fallback proof)."""
+    monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "2")
+    n, d = 512, 256  # n_chunks=1 -> chunks=1 (odd)
+    w = rng.standard_normal((n, d), dtype=np.float32) * 0.1
+    qt = to_tpu_layout(QTensor.quantize(w))
+    x = jnp.asarray(rng.standard_normal((2, n), dtype=np.float32),
+                    jnp.bfloat16)
+    out = np.asarray(int4_matmul(x, qt, interpret=True))
+    expect = np.asarray(x, np.float32) @ np.asarray(
+        qt.dequantize(jnp.float32))
+    np.testing.assert_allclose(out, expect, rtol=2e-2, atol=2e-3)

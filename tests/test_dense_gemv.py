@@ -47,3 +47,34 @@ def test_supports_gate():
     assert not supports(jnp.zeros((512, 128), jnp.bfloat16), w16)  # m cap
     assert not supports(jnp.zeros((1, 100), jnp.bfloat16),
                         jnp.zeros((512, 100), jnp.bfloat16))  # lane align
+
+
+def test_gemv_manual_dma_single_tile(rng, monkeypatch):
+    """Manual-DMA weight streaming for the classifier GEMV
+    (LLAMA_GEMV_MANUAL_DMA): interpret-mode parity at a single-grid-step
+    shape (multi-step grids need cross-step DMA semaphore state neither
+    CPU interpreter carries — chip-gated instead, bitwise vs the
+    auto-pipeline at the 7B lm_head shape, PERFORMANCE.md round 3)."""
+    monkeypatch.setenv("LLAMA_GEMV_MANUAL_DMA", "2")
+    w = jnp.asarray(rng.standard_normal((1280, 128)), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, 128)), jnp.bfloat16)
+    out = np.asarray(dense_gemv(x, w, interpret=True))
+    expect = np.asarray(x, np.float32) @ np.asarray(w, np.float32).T
+    np.testing.assert_allclose(out, expect, rtol=2e-2, atol=2e-2)
+
+
+def test_gemv_manual_dma_inherits_capped(monkeypatch):
+    """LLAMA_INT4_MANUAL_DMA flips the gemv ring too, capped at depth 2
+    (gemv tiles are ~5 MB; a deep ring would blow the scoped pool)."""
+    from llama_cu_awq_tpu.ops.pallas.dense_gemv import _gemv_mdma_n_buf
+
+    monkeypatch.delenv("LLAMA_GEMV_MANUAL_DMA", raising=False)
+    monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "6")
+    assert _gemv_mdma_n_buf() == 2
+    monkeypatch.setenv("LLAMA_GEMV_MANUAL_DMA", "0")
+    assert _gemv_mdma_n_buf() == 0
+    monkeypatch.setenv("LLAMA_GEMV_MANUAL_DMA", "3")
+    assert _gemv_mdma_n_buf() == 3
+    monkeypatch.delenv("LLAMA_INT4_MANUAL_DMA", raising=False)
+    monkeypatch.delenv("LLAMA_GEMV_MANUAL_DMA", raising=False)
+    assert _gemv_mdma_n_buf() == 0

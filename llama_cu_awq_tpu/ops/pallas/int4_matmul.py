@@ -191,10 +191,22 @@ def _pick_tiling(n_chunks: int, d_pad: int) -> tuple[int, int]:
     import os
 
     override = os.environ.get("LLAMA_INT4_TILING")
-    if override:  # "tile_d,chunks" — perf-sweep escape hatch
-        t, c = (int(v) for v in override.split(","))
-        if d_pad % t == 0 and n_chunks % c == 0:
-            return t, c
+    if override:
+        # two forms (perf-sweep escape hatches):
+        #   "tile_d,chunks"                   — applies wherever divisible
+        #   "nc:dp:tile_d:chunks[;...]"       — exact-shape overrides, so
+        #     an end-to-end sweep can retile ONE projection (div-based
+        #     overrides confound: tile 2560 hits 13B qkv AND o AND down)
+        if ":" in override:
+            for ent in override.split(";"):
+                nc, dp, t, c = (int(v) for v in ent.split(":"))
+                if (nc, dp) == (n_chunks, d_pad) and d_pad % t == 0 \
+                        and n_chunks % c == 0:
+                    return t, c
+        else:
+            t, c = (int(v) for v in override.split(","))
+            if d_pad % t == 0 and n_chunks % c == 0:
+                return t, c
     tuned = _TUNED_TILING.get((n_chunks, d_pad))
     if tuned is not None:
         t, c = tuned

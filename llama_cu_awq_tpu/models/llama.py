@@ -473,8 +473,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # XLA's staged einsum fusions. Measured crossover on v5e 7B
     # batch-1 decode (PERFORMANCE.md round-2 chip results): einsum
     # wins at the 512 bucket (185.9 vs 176.6 tok/s), fused_step wins
-    # at the 2048 bucket (150.5 vs 119.4, +26%). attn_len is static
-    # under jit, so each bucket's step compiles its own choice.
+    # at the 2048 bucket (150.5 vs 119.4, +26%) and at the 1024 bucket
+    # (166.6 vs 147.1, +13% — round-3 crossover measurement, so the
+    # 1024 default threshold is now chip-validated at its boundary).
+    # attn_len is static under jit, so each bucket's step compiles its
+    # own choice.
     if attn_impl == "auto":
         thresh = int(os.environ.get("LLAMA_TPU_FSTEP_MIN_WINDOW", "1024"))
         attn_impl = ("fused_step"

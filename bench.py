@@ -26,9 +26,13 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="7b", choices=["7b", "13b", "tiny"])
-    ap.add_argument("--mode", default="decode", choices=["decode", "batch"],
+    ap.add_argument("--mode", default="decode",
+                    choices=["decode", "batch", "prefill"],
                     help="decode: batch-1 tok/s (headline); batch: "
-                         "continuous-batching aggregate tok/s")
+                         "continuous-batching aggregate tok/s; prefill: "
+                         "prompt-processing tok/s (time-to-first-token "
+                         "side of serving; the reference publishes no "
+                         "prefill number)")
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--decode-steps", type=int, default=None,
                     help="long-context accounting: prefill the WHOLE "
@@ -199,6 +203,8 @@ def main():
     impl = "pallas" if on_tpu else "dequant"
     if args.mode == "batch":
         return bench_batch(args, cfg, params, max_seq, impl, mesh)
+    if args.mode == "prefill":
+        return bench_prefill(args, cfg, params, max_seq, impl, mesh)
 
     engine = InferenceEngine(
         params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
@@ -259,6 +265,48 @@ def main():
         "vs_baseline": round(best / BASELINE_TOK_S, 4),
     }
     print(json.dumps(result))
+
+
+def bench_prefill(args, cfg, params, max_seq, impl, mesh=None):
+    """Prompt-processing throughput: teacher-forced block prefill of an
+    N-token prompt (engine._prefill — PREFILL_BLOCK-wide forward calls
+    filling the KV cache), timed to cache-ready. This is the
+    time-to-first-token side of serving; decode tok/s is bandwidth-bound
+    while prefill is MXU-bound, so the two need separate accounting."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama_cu_awq_tpu.engine import InferenceEngine
+
+    engine = InferenceEngine(
+        params, cfg, tokenizer=None, act_dtype=jnp.bfloat16,
+        matmul_impl=impl, attn_impl=args.attn_impl, max_seq=max_seq,
+        temperature=0.0, seed=1234, chunk_size=args.chunk_size, mesh=mesh)
+    n = min(args.prompt_len, max_seq - 2)
+    prompt = [5 + i % 500 for i in range(n)]
+
+    def one_run():
+        engine.reset()
+        t0 = time.time()
+        engine._prefill(prompt)
+        jax.block_until_ready(engine.cache.k[-1])
+        return time.time() - t0
+
+    log(f"warmup (compiles prefill blocks for a {n}-token prompt)...")
+    one_run()
+    best = None
+    for i in range(args.repeats):
+        dt = one_run()
+        log(f"run {i}: {n} prompt tokens in {dt*1e3:.1f}ms -> "
+            f"{n/dt:.0f} tok/s prefill")
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({
+        "metric": f"prefill_tok_s_{args.config}_w4g128_p{n}"
+                  + (f"_tp{args.tp}" if args.tp > 1 else ""),
+        "value": round(n / best, 1),
+        "unit": "tok/s",
+        "vs_baseline": round((n / best) / BASELINE_TOK_S, 4),
+    }))
 
 
 def bench_batch(args, cfg, params, max_seq, impl, mesh=None):

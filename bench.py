@@ -287,9 +287,14 @@ def bench_prefill(args, cfg, params, max_seq, impl, mesh=None):
 
     def one_run():
         engine.reset()
+        jax.block_until_ready(engine.cache.k[-1])
         t0 = time.time()
         engine._prefill(prompt)
-        jax.block_until_ready(engine.cache.k[-1])
+        # fetch a real value: on the tunneled platform block_until_ready
+        # alone returned before the device work drained (measured 113k
+        # tok/s "prefill" = 7x MXU peak — impossible), so fence with a
+        # device_get of data every layer's compute feeds
+        float(jnp.sum(engine.cache.k[-1][..., -1, :].astype(jnp.float32)))
         return time.time() - t0
 
     log(f"warmup (compiles prefill blocks for a {n}-token prompt)...")

@@ -38,7 +38,13 @@ from llama_cu_awq_tpu.models.llama import (
 from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token
 from llama_cu_awq_tpu.tokenizer import EOS_TOKEN, Tokenizer
 
-PREFILL_BLOCK = 128
+# Teacher-forced prompt-prefill block width. 128 is the measured safe
+# default; LLAMA_TPU_PREFILL_BLOCK overrides for prefill-throughput
+# tuning (bigger blocks amortize the per-block full weight re-read and
+# raise MXU utilization — bench.py --mode prefill sweeps this). Also the
+# prefix-cache granularity (engine/batch.py), so it is read once at
+# import.
+PREFILL_BLOCK = int(os.environ.get("LLAMA_TPU_PREFILL_BLOCK", "128"))
 
 
 def propose_ngram(hist, k: int, ns=(3, 2)) -> list[int] | None:

@@ -98,7 +98,8 @@ def _make_kernel_mdma(tile_v: int, n_tiles: int, n_buf: int,
 def _gemv_mdma_n_buf() -> int:
     """0 = auto-pipeline; N>=2 = manual-DMA ring (LLAMA_GEMV_MANUAL_DMA,
     falling back to LLAMA_INT4_MANUAL_DMA so one env var flips both
-    kernel families in an A/B)."""
+    kernel families in an A/B). TPU-only, like int4's _mdma_n_buf: the
+    CPU interpreters hang on multi-step-grid DMA rings."""
     import os
 
     v = os.environ.get("LLAMA_GEMV_MANUAL_DMA")
@@ -107,9 +108,15 @@ def _gemv_mdma_n_buf() -> int:
         # (vs the int4 kernels' ~1-2 MB blocks), so a deep ring would
         # blow the scoped-VMEM pool
         v = os.environ.get("LLAMA_INT4_MANUAL_DMA", "0")
-        return 2 if int(v or 0) else 0
-    v = int(v or 0)
-    return max(v, 2) if v else 0
+        n = 2 if int(v or 0) else 0
+    else:
+        v = int(v or 0)
+        n = max(v, 2) if v else 0
+    if not n:
+        return 0
+    from llama_cu_awq_tpu.ops.linear import _on_tpu
+
+    return n if _on_tpu() else 0
 
 
 def _pick_tile(v: int, d: int, itemsize: int) -> int | None:

@@ -151,11 +151,18 @@ def _make_kernel_dinner_mdma(chunks: int, tile_d: int, d_tiles: int,
 
 def _mdma_n_buf() -> int:
     """0 = auto-pipeline (default); N>=2 = manual-DMA streaming with an
-    N-deep scratch ring (LLAMA_INT4_MANUAL_DMA=N; N=1 coerces to 2)."""
+    N-deep scratch ring (LLAMA_INT4_MANUAL_DMA=N; N=1 coerces to 2).
+    TPU-only: the CPU interpreters don't carry cross-grid-step DMA
+    semaphore state (multi-step grids hang), and tests force interpret
+    mode — a globally-exported env var must not reach them."""
     import os
 
     v = int(os.environ.get("LLAMA_INT4_MANUAL_DMA", "0") or 0)
-    return max(v, 2) if v else 0
+    if not v:
+        return 0
+    from llama_cu_awq_tpu.ops.linear import _on_tpu
+
+    return max(v, 2) if _on_tpu() else 0
 
 
 def _make_kernel_douter(chunks: int):

@@ -55,7 +55,10 @@ def test_gemv_manual_dma_single_tile(rng, monkeypatch):
     shape (multi-step grids need cross-step DMA semaphore state neither
     CPU interpreter carries — chip-gated instead, bitwise vs the
     auto-pipeline at the 7B lm_head shape, PERFORMANCE.md round 3)."""
+    import llama_cu_awq_tpu.ops.linear as linear
+
     monkeypatch.setenv("LLAMA_GEMV_MANUAL_DMA", "2")
+    monkeypatch.setattr(linear, "_on_tpu", lambda: True)  # env is TPU-gated
     w = jnp.asarray(rng.standard_normal((1280, 128)), jnp.bfloat16)
     x = jnp.asarray(rng.standard_normal((1, 128)), jnp.bfloat16)
     out = np.asarray(dense_gemv(x, w, interpret=True))
@@ -66,8 +69,10 @@ def test_gemv_manual_dma_single_tile(rng, monkeypatch):
 def test_gemv_manual_dma_inherits_capped(monkeypatch):
     """LLAMA_INT4_MANUAL_DMA flips the gemv ring too, capped at depth 2
     (gemv tiles are ~5 MB; a deep ring would blow the scoped pool)."""
+    import llama_cu_awq_tpu.ops.linear as linear
     from llama_cu_awq_tpu.ops.pallas.dense_gemv import _gemv_mdma_n_buf
 
+    monkeypatch.setattr(linear, "_on_tpu", lambda: True)
     monkeypatch.delenv("LLAMA_GEMV_MANUAL_DMA", raising=False)
     monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "6")
     assert _gemv_mdma_n_buf() == 2

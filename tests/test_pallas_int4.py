@@ -115,7 +115,10 @@ def test_manual_dma_single_tile_matches_oracle(rng, monkeypatch):
     carried), so those are gated on real hardware instead: bitwise
     vs the auto-pipeline at 7B shapes on chip (PERFORMANCE.md round 3)
     and tools/chip_parity.py before any promotion."""
+    import llama_cu_awq_tpu.ops.linear as linear
+
     monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "2")
+    monkeypatch.setattr(linear, "_on_tpu", lambda: True)  # env is TPU-gated
     n, d = 1024, 128  # n_chunks=2, tile_d=128 -> grid (1, 1)
     w = rng.standard_normal((n, d), dtype=np.float32) * 0.1
     qt = to_tpu_layout(QTensor.quantize(w))
@@ -132,7 +135,10 @@ def test_manual_dma_odd_chunks_falls_back(rng, monkeypatch):
     granule; the dispatch must silently use the auto-pipeline (this
     shape would otherwise hang interpret mode — a pass here IS the
     fallback proof)."""
+    import llama_cu_awq_tpu.ops.linear as linear
+
     monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "2")
+    monkeypatch.setattr(linear, "_on_tpu", lambda: True)
     n, d = 512, 256  # n_chunks=1 -> chunks=1 (odd)
     w = rng.standard_normal((n, d), dtype=np.float32) * 0.1
     qt = to_tpu_layout(QTensor.quantize(w))
@@ -142,3 +148,16 @@ def test_manual_dma_odd_chunks_falls_back(rng, monkeypatch):
     expect = np.asarray(x, np.float32) @ np.asarray(
         qt.dequantize(jnp.float32))
     np.testing.assert_allclose(out, expect, rtol=2e-2, atol=2e-3)
+
+
+def test_manual_dma_env_is_tpu_gated(monkeypatch):
+    """A globally-exported LLAMA_INT4_MANUAL_DMA must NOT reach CPU
+    interpret runs (multi-step DMA-ring grids hang both interpreters)."""
+    import llama_cu_awq_tpu.ops.linear as linear
+    from llama_cu_awq_tpu.ops.pallas.int4_matmul import _mdma_n_buf
+
+    monkeypatch.setenv("LLAMA_INT4_MANUAL_DMA", "4")
+    monkeypatch.setattr(linear, "_on_tpu", lambda: False)
+    assert _mdma_n_buf() == 0
+    monkeypatch.setattr(linear, "_on_tpu", lambda: True)
+    assert _mdma_n_buf() == 4

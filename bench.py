@@ -59,6 +59,9 @@ def main():
                     help="capture a jax.profiler trace of run 0 into DIR")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (batch mode: halves KV bandwidth)")
+    ap.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
+                    help="quantized-KV width; 4 = nibble-packed int4 "
+                         "(quarter footprint, implies --kv-quant)")
     ap.add_argument("--admit-long", type=int, default=0, metavar="N",
                     help="batch mode: every 4th request arrives with an "
                          "N-token prompt (block-prefill admissions mixed "
@@ -341,7 +344,9 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
 
     eng = BatchEngine(params, cfg, n_slots=args.slots, max_seq=max_seq,
                       act_dtype=jnp.bfloat16, matmul_impl=impl,
-                      kv_quant=args.kv_quant, attn_impl=args.attn_impl,
+                      kv_quant=(4 if args.kv_bits == 4
+                                else args.kv_quant),
+                      attn_impl=args.attn_impl,
                       temperature=0.0, chunk_size=args.chunk_size,
                       spec=args.spec, spec_k=args.spec_k, mesh=mesh)
 
@@ -372,7 +377,9 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
         best = max(best, tok_s)
     print(json.dumps({
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
-                  f"_r{args.requests}" + ("_kvq8" if args.kv_quant else "")
+                  f"_r{args.requests}"
+                  + ("_kvq4" if args.kv_bits == 4
+                     else ("_kvq8" if args.kv_quant else ""))
                   + (f"_tp{args.tp}" if args.tp > 1 else "")
                   + (f"_spec{args.spec_k}" if args.spec else "")
                   + (f"_admL{args.admit_long}" if args.admit_long else ""),

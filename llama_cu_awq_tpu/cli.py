@@ -49,6 +49,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8-quantize the KV cache (halves its memory "
                          "and bandwidth; near-lossless)")
+    ap.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
+                    help="quantized-KV width: 8 (default) or 4 "
+                         "(nibble-packed, quarter footprint; implies "
+                         "--kv-quant)")
     ap.add_argument("--attn-impl", default=None,
                     choices=["auto", "einsum", "flash", "batched",
                              "batched_static", "fused_step", "mono"],
@@ -152,7 +156,8 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         params, ckpt.config, tokenizer, act_dtype=act_dtype,
         matmul_impl=args.matmul_impl, attn_impl=args.attn_impl,
-        kv_quant=args.kv_quant, temperature=args.temperature,
+        kv_quant=(4 if args.kv_bits == 4 else args.kv_quant),
+        temperature=args.temperature,
         topp=args.topp, seed=args.seed, spec=args.spec,
         spec_k=args.spec_k,
         max_seq=args.max_seq or ckpt.config.seq_len, mesh=mesh)

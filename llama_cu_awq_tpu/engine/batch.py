@@ -125,7 +125,8 @@ class BatchEngine:
                  tokenizer=None, *, n_slots: int = 8,
                  max_seq: int | None = None, act_dtype=jnp.bfloat16,
                  matmul_impl: str | None = None,
-                 attn_impl: str | None = None, kv_quant: bool = False,
+                 attn_impl: str | None = None,
+                 kv_quant: bool | int = False,
                  temperature: float = 0.0,
                  topp: float = 0.6, seed: int = 1234, chunk_size: int = 8,
                  spec: str | None = None, spec_k: int = 7,
@@ -148,7 +149,10 @@ class BatchEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         self._buckets = attn_buckets(self.max_seq)
-        self.kv_quant = kv_quant
+        # kv_quant: False -> bf16 cache; True/8 -> int8 codes + scales;
+        # 4 -> nibble-packed int4 (quarter footprint, einsum-path only)
+        self.kv_quant = bool(kv_quant)
+        self.kv_bits = 4 if kv_quant == 4 else 8
         # mesh: tensor-parallel serving — weights column/row-sharded and
         # the KV cache kv-head-sharded over the mesh's 'tp' axis, slots
         # replicated (BASELINE.json: "13B tensor-sharded, continuous
@@ -215,12 +219,14 @@ class BatchEngine:
         if self.mesh is None:
             return init_kv_cache(self.cfg, self.n_slots, self.max_seq,
                                  dtype=self.act_dtype,
-                                 quantized=self.kv_quant)
+                                 quantized=self.kv_quant,
+                                 kv_bits=self.kv_bits)
         from llama_cu_awq_tpu.parallel.tp import tp_init_kv_cache
 
         return tp_init_kv_cache(self.cfg, self.n_slots, self.max_seq,
                                 self.mesh, dtype=self.act_dtype,
-                                quantized=self.kv_quant)
+                                quantized=self.kv_quant,
+                                kv_bits=self.kv_bits)
 
     def _bucket_for(self, seq: int) -> int:
         for b in self._buckets:

@@ -176,7 +176,8 @@ class InferenceEngine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  tokenizer: Tokenizer | None = None, *,
                  act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
-                 attn_impl: str | None = None, kv_quant: bool = False,
+                 attn_impl: str | None = None,
+                 kv_quant: bool | int = False,
                  max_seq: int | None = None, temperature: float = 0.5,
                  topp: float = 0.6, seed: int = 0, chunk_size: int = 16,
                  spec: str | None = None, spec_k: int = 7,
@@ -196,7 +197,10 @@ class InferenceEngine:
         self.topp = topp
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
-        self.kv_quant = kv_quant
+        # kv_quant: False -> bf16 cache; True/8 -> int8; 4 -> nibble-
+        # packed int4 (quarter footprint; einsum attention path only)
+        self.kv_quant = bool(kv_quant)
+        self.kv_bits = 4 if kv_quant == 4 else 8
         # speculative decoding (prompt-lookup): propose the k tokens
         # that followed the most recent earlier occurrence of the
         # current n-gram, verify all of them in ONE teacher-forced
@@ -227,12 +231,14 @@ class InferenceEngine:
         if self.mesh is None:
             return init_kv_cache(self.cfg, 1, self.max_seq,
                                  dtype=self.act_dtype,
-                                 quantized=self.kv_quant)
+                                 quantized=self.kv_quant,
+                                 kv_bits=self.kv_bits)
         from llama_cu_awq_tpu.parallel.tp import tp_init_kv_cache
 
         return tp_init_kv_cache(self.cfg, 1, self.max_seq, self.mesh,
                                 dtype=self.act_dtype,
-                                quantized=self.kv_quant)
+                                quantized=self.kv_quant,
+                                kv_bits=self.kv_bits)
 
     # ------------------------------------------------------------------
     # jitted step functions (compiled per attention bucket)

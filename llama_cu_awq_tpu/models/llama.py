@@ -120,13 +120,21 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int,
-                  dtype=jnp.bfloat16, quantized: bool = False) -> KVCache:
+                  dtype=jnp.bfloat16, quantized: bool = False,
+                  kv_bits: int = 8) -> KVCache:
     shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
     n = cfg.n_layers
     if not quantized:
         return KVCache([jnp.zeros(shape, dtype) for _ in range(n)],
                        [jnp.zeros(shape, dtype) for _ in range(n)])
-    sshape = shape[:-1]
+    if kv_bits == 4:
+        # nibble-packed: two signed 4-bit codes per int8 byte along
+        # head_dim (quantize_kv4) — the cache's last dim is D//2, which
+        # is also how forward() detects the 4-bit mode
+        shape = shape[:-1] + (cfg.head_dim // 2,)
+    elif kv_bits != 8:
+        raise ValueError(f"kv_bits must be 4 or 8, got {kv_bits}")
+    sshape = (batch, max_seq, cfg.n_kv_heads)
     return KVCache(
         [jnp.zeros(shape, jnp.int8) for _ in range(n)],
         [jnp.zeros(shape, jnp.int8) for _ in range(n)],
@@ -141,6 +149,34 @@ def quantize_kv(x: jax.Array):
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
     q = jnp.round(xf / s[..., None]).astype(jnp.int8)
     return q, s
+
+
+def quantize_kv4(x: jax.Array):
+    """Symmetric per-vector int4, nibble-packed (the int4-KV-cache
+    direction of PAPERS.md's KV-quantization line): (B, T, H, D) float
+    -> (int8 packed codes (B, T, H, D//2), f32 scales (B, T, H)).
+    codes[..., i] = lane 2i in the low nibble, lane 2i+1 in the high
+    nibble, both signed two's-complement (amax/7). Quarter the bf16
+    cache's footprint and HBM traffic; |x - q*s| <= s/2 per element
+    with s 18x coarser than int8's."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-10)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
+    packed = (q[..., 0::2] & 0x0F) | (q[..., 1::2] << 4)
+    return packed.astype(jnp.int8), s
+
+
+def dequant_kv4(codes: jax.Array, scales: jax.Array, dtype) -> jax.Array:
+    """Unpack nibble-packed int4 KV: (..., H, D//2) int8 codes +
+    (..., H) scales -> (..., H, D) dtype. Arithmetic int8 shifts
+    sign-extend both nibbles; XLA fuses the unpack + scale multiply
+    into the attention dot's operand read (same on-the-fly pattern as
+    the int8 path)."""
+    low = jnp.left_shift(codes, 4) >> 4
+    high = codes >> 4
+    full = jnp.stack([low, high], axis=-1).reshape(
+        *codes.shape[:-1], 2 * codes.shape[-1])
+    return full.astype(dtype) * scales[..., None].astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -465,8 +501,15 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # (the current token's k/v enters the kernel from the qkv row, so
     # the write->read serialization disappears)
     full_A0 = cache.k[0].shape[1] if cache.k else A
+    # 4-bit KV mode: detected from the packed cache's halved last dim
+    # (init_kv_cache(kv_bits=4)). The int8-NATIVE kernels (fused_step /
+    # mono / batched) read codes+scales directly and don't speak the
+    # nibble packing, so kv4 forces the einsum path (which dequantizes
+    # the window on the fly via dequant_kv4).
+    kv4 = (cache.quantized and bool(cache.k)
+           and cache.k[0].shape[-1] == cfg.head_dim // 2)
     shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
-                 and full_A0 % 128 == 0 and H % KV == 0)
+                 and full_A0 % 128 == 0 and H % KV == 0 and not kv4)
     # attn_impl "auto" (the engines' default): einsum attention for
     # shallow windows, the fused_step kernel once the window is deep
     # enough that streaming the KV window through one kernel beats
@@ -613,7 +656,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         full_A = cache.k[l].shape[1] if cache.k else A
         batched = (T == 1
                    and attn_impl in ("batched", "batched_static")
-                   and cfg.head_dim % 128 == 0 and full_A % 128 == 0)
+                   and cfg.head_dim % 128 == 0 and full_A % 128 == 0
+                   and not kv4)
         if (attn_impl in ("batched", "batched_static") and T == 1
                 and not batched and l == 0):
             import warnings
@@ -624,8 +668,9 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 f"cache len={full_A}); falling back to the einsum path",
                 stacklevel=2)
         if cache.quantized:
-            kq, ks = quantize_kv(kh)
-            vq, vs = quantize_kv(vh)
+            qfn = quantize_kv4 if kv4 else quantize_kv
+            kq, ks = qfn(kh)
+            vq, vs = qfn(vh)
             k_cache_l = _update_cache(cache.k[l], kq, pos)
             v_cache_l = _update_cache(cache.v[l], vq, pos)
             ks_l = _update_cache(cache.k_scale[l], ks, pos)
@@ -639,6 +684,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 # already reads only up to pos[b]
                 k_att, v_att = k_cache_l, v_cache_l
                 scales = (ks_l, vs_l)
+            elif kv4:
+                # nibble-unpack + scale, fused into the attention dot's
+                # operand read like the int8 on-the-fly dequant below
+                k_att = dequant_kv4(k_cache_l[:, :A], ks_l[:, :A],
+                                    act_dtype)
+                v_att = dequant_kv4(v_cache_l[:, :A], vs_l[:, :A],
+                                    act_dtype)
             else:
                 # dequantize the window on the fly; XLA fuses the int8
                 # load + scale multiply into the attention dot's operand

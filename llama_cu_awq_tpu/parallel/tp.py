@@ -181,11 +181,13 @@ def tp_cache_sharding(mesh, batch_sharded: bool = False):
 
 def tp_init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int, mesh,
                      dtype=jnp.bfloat16, batch_sharded: bool = False,
-                     quantized: bool = False):
+                     quantized: bool = False, kv_bits: int = 8):
     """KV cache sharded over kv heads (and optionally batch over dp).
 
     quantized: int8 codes + per-(slot, pos, head) f32 scales, the scales
     sharded over the same head axis as the codes (models/llama.py KVCache).
+    kv_bits=4: nibble-packed codes (last dim head_dim//2) — the packing
+    runs along head_dim, so the head-axis sharding is unchanged.
     """
     bspec = DP_AXIS if batch_sharded else None
     sharding = tp_cache_sharding(mesh, batch_sharded)
@@ -200,6 +202,10 @@ def tp_init_kv_cache(cfg: ModelConfig, batch: int, max_seq: int, mesh,
         return KVCache([zeros(shape, dtype, sharding) for _ in range(n)],
                        [zeros(shape, dtype, sharding) for _ in range(n)])
     sshape = shape[:-1]
+    if kv_bits == 4:
+        shape = shape[:-1] + (cfg.head_dim // 2,)
+    elif kv_bits != 8:
+        raise ValueError(f"kv_bits must be 4 or 8, got {kv_bits}")
     return KVCache(
         [zeros(shape, jnp.int8, sharding) for _ in range(n)],
         [zeros(shape, jnp.int8, sharding) for _ in range(n)],

@@ -580,6 +580,9 @@ def main(argv=None) -> int:
     ap.add_argument("-s", dest="seed", type=int, default=0)
     ap.add_argument("--chunk-size", type=int, default=8)
     ap.add_argument("--kv-quant", action="store_true")
+    ap.add_argument("--kv-bits", type=int, default=8, choices=[8, 4],
+                    help="quantized-KV width; 4 = nibble-packed int4 "
+                         "(quarter footprint, implies --kv-quant)")
     ap.add_argument("--spec", default="ngram", choices=["ngram", "none"],
                     help="speculative serving blocks (default on: +39%% "
                          "aggregate measured on v5e, output streams "
@@ -652,7 +655,8 @@ def main(argv=None) -> int:
         engines.append(BatchEngine(
             params, ckpt.config, tokenizer, n_slots=args.slots,
             max_seq=args.max_seq, temperature=args.temperature,
-            topp=args.topp, seed=args.seed + i, kv_quant=args.kv_quant,
+            topp=args.topp, seed=args.seed + i,
+            kv_quant=(4 if args.kv_bits == 4 else args.kv_quant),
             matmul_impl=args.matmul_impl,
             spec=None if args.spec == "none" else args.spec,
             spec_k=args.spec_k, prefix_cache_size=args.prefix_cache,

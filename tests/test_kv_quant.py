@@ -90,3 +90,80 @@ def test_engines_run_with_kv_quant(tiny_config):
     eng.reset()
     toks2, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 3 + 5)
     assert out[r2][:1] == toks2[:1]
+
+
+def test_quantize_kv4_roundtrip_and_bound(rng):
+    from llama_cu_awq_tpu.models.llama import dequant_kv4, quantize_kv4
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 4, 64)) * 3.0, jnp.float32)
+    q, s = quantize_kv4(x)
+    assert q.dtype == jnp.int8 and q.shape == (2, 5, 4, 32)
+    assert s.shape == (2, 5, 4)
+    deq = np.asarray(dequant_kv4(q, s, jnp.float32))
+    assert deq.shape == x.shape
+    # symmetric int4: |x - q*s| <= s/2, s = amax/7
+    bound = np.broadcast_to(np.asarray(s)[..., None] * (0.5 + 1e-5),
+                            deq.shape)
+    np.testing.assert_array_less(np.abs(np.asarray(x) - deq), bound)
+    # exact roundtrip of representable values: q*s for q in [-7, 7]
+    codes = rng.integers(-7, 8, size=(1, 3, 2, 16)).astype(np.float32)
+    xr = jnp.asarray(codes * 0.125, jnp.float32)
+    q2, s2 = quantize_kv4(xr)
+    deq2 = np.asarray(dequant_kv4(q2, s2, jnp.float32))
+    np.testing.assert_allclose(deq2, np.asarray(xr), rtol=1e-6, atol=1e-6)
+
+
+def test_forward_kv4_cache_close(tiny_config):
+    cfg = tiny_config
+    ckpt = random_checkpoint(cfg, seed=11)
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+    tokens = jnp.asarray([[5, 9, 2, 77, 130]])
+    pos = jnp.zeros(1, jnp.int32)
+
+    c16 = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    l16, c16 = forward(params, cfg, tokens, pos, c16, attn_len=32,
+                       act_dtype=jnp.float32, matmul_impl="dequant",
+                       logits_all=True)
+    c4 = init_kv_cache(cfg, 1, 32, quantized=True, kv_bits=4)
+    assert c4.quantized and c4.k[0].shape[-1] == cfg.head_dim // 2
+    l4, c4 = forward(params, cfg, tokens, pos, c4, attn_len=32,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     logits_all=True)
+    # int4 per-vector KV: ~16x coarser than int8 but still close on
+    # attention operands (per-vector scales track the distribution)
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(l16), rtol=0.25,
+                               atol=0.25)
+
+    # decode continues correctly from the packed cache
+    nt = jnp.asarray([[42]])
+    p5 = jnp.full(1, 5, jnp.int32)
+    l16b, _ = forward(params, cfg, nt, p5, c16, attn_len=32,
+                      act_dtype=jnp.float32, matmul_impl="dequant")
+    l4b, _ = forward(params, cfg, nt, p5, c4, attn_len=32,
+                     act_dtype=jnp.float32, matmul_impl="dequant")
+    np.testing.assert_allclose(np.asarray(l4b), np.asarray(l16b),
+                               rtol=0.25, atol=0.25)
+
+
+def test_engines_run_with_kv4(tiny_config):
+    cfg = tiny_config
+    ckpt = random_checkpoint(cfg, seed=2)
+    params = params_from_checkpoint(ckpt, param_dtype=jnp.float32)
+
+    eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
+                          matmul_impl="dequant", kv_quant=4,
+                          temperature=0.0, max_seq=64, chunk_size=4)
+    assert eng.kv_bits == 4
+    toks, _, _ = eng.generate_benchmark([BOS_TOKEN, 7, 9], 12)
+    assert len(toks) == 10 and all(0 <= t < cfg.vocab_size for t in toks)
+
+    be = BatchEngine(params, cfg, n_slots=2, max_seq=64,
+                     act_dtype=jnp.float32, matmul_impl="dequant",
+                     kv_quant=4, temperature=0.0, chunk_size=4,
+                     prefer_native_scheduler=False)
+    assert be.kv_bits == 4
+    long_prompt = [BOS_TOKEN] + [(3 * i) % 400 for i in range(55)]
+    r1 = be.submit(long_prompt, max_new=5)
+    r2 = be.submit([BOS_TOKEN, 7, 9], max_new=5)
+    out = be.run()
+    assert len(out[r1]) >= 1 and len(out[r2]) >= 1

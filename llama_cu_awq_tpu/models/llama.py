@@ -155,28 +155,38 @@ def quantize_kv4(x: jax.Array):
     """Symmetric per-vector int4, nibble-packed (the int4-KV-cache
     direction of PAPERS.md's KV-quantization line): (B, T, H, D) float
     -> (int8 packed codes (B, T, H, D//2), f32 scales (B, T, H)).
-    codes[..., i] = lane 2i in the low nibble, lane 2i+1 in the high
-    nibble, both signed two's-complement (amax/7). Quarter the bf16
-    cache's footprint and HBM traffic; |x - q*s| <= s/2 per element
-    with s 18x coarser than int8's."""
+    HALVES packing: codes[..., i] = lane i in the low nibble, lane
+    i + D/2 in the high nibble, both signed two's-complement (amax/7).
+    Halves (not interleave) so attention can run SPLIT dots — one per
+    nibble plane — whose operands are pure elementwise unpack chains
+    XLA fuses into the dot; an interleaved layout forces a materialized
+    stack+reshape of the whole bf16 window (measured -46% aggregate
+    serving throughput). Quarter the bf16 cache's footprint; |x - q*s|
+    <= s/2 per element with s 18x coarser than int8's."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-10)
     q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int8)
-    packed = (q[..., 0::2] & 0x0F) | (q[..., 1::2] << 4)
+    d2 = q.shape[-1] // 2
+    packed = (q[..., :d2] & 0x0F) | (q[..., d2:] << 4)
     return packed.astype(jnp.int8), s
 
 
+def _unpack_kv4(codes: jax.Array, scales: jax.Array, dtype):
+    """(..., H, D//2) int8 codes + (..., H) scales -> (lo, hi) halves of
+    shape (..., H, D//2) in dtype. Arithmetic int8 shifts sign-extend;
+    each half is a pure elementwise chain (fusable into a dot)."""
+    sc = scales[..., None].astype(dtype)
+    lo = (jnp.left_shift(codes, 4) >> 4).astype(dtype) * sc
+    hi = (codes >> 4).astype(dtype) * sc
+    return lo, hi
+
+
 def dequant_kv4(codes: jax.Array, scales: jax.Array, dtype) -> jax.Array:
-    """Unpack nibble-packed int4 KV: (..., H, D//2) int8 codes +
-    (..., H) scales -> (..., H, D) dtype. Arithmetic int8 shifts
-    sign-extend both nibbles; XLA fuses the unpack + scale multiply
-    into the attention dot's operand read (same on-the-fly pattern as
-    the int8 path)."""
-    low = jnp.left_shift(codes, 4) >> 4
-    high = codes >> 4
-    full = jnp.stack([low, high], axis=-1).reshape(
-        *codes.shape[:-1], 2 * codes.shape[-1])
-    return full.astype(dtype) * scales[..., None].astype(dtype)
+    """Full unpack (tests / reference path): halves concatenated back to
+    (..., H, D). The attention path uses _unpack_kv4's split halves
+    instead, which fuse into the score/AV dots."""
+    lo, hi = _unpack_kv4(codes, scales, dtype)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +367,12 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
     long windows where a materialized (H, A) score tensor would thrash.
     """
     B, T, H, D = q.shape
-    if T == 1 and impl == "flash":
+    # kv4: caches arrive as (codes, scales) tuples — nibble-halves
+    # packed int4 (quantize_kv4). Scores and A.V run as SPLIT dots, one
+    # per nibble plane, so each operand stays a fusable elementwise
+    # unpack chain and no full bf16 window is ever materialized.
+    kv4 = isinstance(k_cache, tuple)
+    if T == 1 and impl == "flash" and not kv4:
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.ops.pallas import decode_attention as da
 
@@ -365,13 +380,25 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
             out = da.decode_attention(q.reshape(B, H, D), k_cache, v_cache,
                                       pos, interpret=not _on_tpu())
             return out.reshape(B, 1, H * D)
-    A, n_kv = k_cache.shape[1], k_cache.shape[2]
+    if kv4:
+        k_codes, k_s = k_cache
+        A, n_kv = k_codes.shape[1], k_codes.shape[2]
+    else:
+        A, n_kv = k_cache.shape[1], k_cache.shape[2]
     kv_mul = H // n_kv
     # operands stay in act_dtype (bf16 -> native MXU), f32 accumulation
     qg = q.reshape(B, T, n_kv, kv_mul, D)
     # scores: (B, T, Hkv, kv_mul, A), f32 accumulation, 1/sqrt(D) scale
-    scores = jnp.einsum("bthgd,bshd->bthgs", qg, k_cache,
-                        preferred_element_type=jnp.float32)
+    if kv4:
+        d2 = D // 2
+        k_lo, k_hi = _unpack_kv4(k_codes, k_s, act_dtype)
+        scores = (jnp.einsum("bthgd,bshd->bthgs", qg[..., :d2], k_lo,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bthgd,bshd->bthgs", qg[..., d2:], k_hi,
+                               preferred_element_type=jnp.float32))
+    else:
+        scores = jnp.einsum("bthgd,bshd->bthgs", qg, k_cache,
+                            preferred_element_type=jnp.float32)
     scores = scores * (1.0 / np.sqrt(D))
     # causal mask: key position s visible iff s <= pos + t
     s_idx = jnp.arange(A)
@@ -384,8 +411,16 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
     scores = scores.astype(act_dtype).astype(jnp.float32)
     att = jax.nn.softmax(scores, axis=-1)
     att = att.astype(act_dtype)
-    out = jnp.einsum("bthgs,bshd->bthgd", att, v_cache,
-                     preferred_element_type=jnp.float32)
+    if kv4:
+        v_lo, v_hi = _unpack_kv4(v_cache[0], v_cache[1], act_dtype)
+        out = jnp.concatenate(
+            [jnp.einsum("bthgs,bshd->bthgd", att, v_lo,
+                        preferred_element_type=jnp.float32),
+             jnp.einsum("bthgs,bshd->bthgd", att, v_hi,
+                        preferred_element_type=jnp.float32)], axis=-1)
+    else:
+        out = jnp.einsum("bthgs,bshd->bthgd", att, v_cache,
+                         preferred_element_type=jnp.float32)
     return out.reshape(B, T, H * D)
 
 
@@ -685,12 +720,10 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 k_att, v_att = k_cache_l, v_cache_l
                 scales = (ks_l, vs_l)
             elif kv4:
-                # nibble-unpack + scale, fused into the attention dot's
-                # operand read like the int8 on-the-fly dequant below
-                k_att = dequant_kv4(k_cache_l[:, :A], ks_l[:, :A],
-                                    act_dtype)
-                v_att = dequant_kv4(v_cache_l[:, :A], vs_l[:, :A],
-                                    act_dtype)
+                # codes+scales go to _attention's split-dot path; the
+                # nibble unpack fuses into each dot's operand read
+                k_att = (k_cache_l[:, :A], ks_l[:, :A])
+                v_att = (v_cache_l[:, :A], vs_l[:, :A])
             else:
                 # dequantize the window on the fly; XLA fuses the int8
                 # load + scale multiply into the attention dot's operand

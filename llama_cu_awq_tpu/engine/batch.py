@@ -237,8 +237,14 @@ class BatchEngine:
     @functools.cached_property
     def _prefill_slot_fn(self):
         """B=1 prefill over one slot's cache rows (slot index traced)."""
+        # prefill-specific scoped-vmem limit: see engine.py _prefill_fn
+        # (the decode-tuned 12 MB bound compile-OOMs the fused kernels'
+        # m=PREFILL_BLOCK scratch at 13B shapes)
+        tuned = dict(self._step_tuned or {})
+        tuned.setdefault("xla_tpu_scoped_vmem_limit_kib", 32768)
 
-        @functools.partial(engine_jit, tuned=self._step_tuned, static_argnames=("block", "attn_len"),
+        @functools.partial(engine_jit, tuned=tuned,
+                           static_argnames=("block", "attn_len"),
                            donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
             def take(arrs):

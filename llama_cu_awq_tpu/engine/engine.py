@@ -433,8 +433,17 @@ class InferenceEngine:
 
     @functools.cached_property
     def _prefill_fn(self):
+        # prefill gets its own scoped-vmem limit: the decode-tuned
+        # 12 MB staging bound rejects the fused kernels' m=PREFILL_BLOCK
+        # scratch (13B down-proj at m=128 stacks 15 MB — measured
+        # compile OOM at the 2048-window 13B bench), and prefill is
+        # compute-bound so decode's staging sweet spot doesn't apply
+        tuned = dict(self._step_tuned or {})
+        tuned.setdefault("xla_tpu_scoped_vmem_limit_kib", 32768)
+
         @functools.partial(
-            engine_jit, tuned=self._step_tuned, static_argnames=("block", "attn_len", "logits_all"),
+            engine_jit, tuned=tuned,
+            static_argnames=("block", "attn_len", "logits_all"),
             donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, *, block, attn_len,
                     logits_all):

@@ -56,6 +56,21 @@ from llama_cu_awq_tpu.sampling import XorshiftRNG, sample_token, sample_token_ve
 from llama_cu_awq_tpu.tokenizer import BOS_TOKEN, EOS_TOKEN
 
 
+def _dev_snapshot(a: np.ndarray):
+    """Host→device snapshot of a MUTABLE numpy buffer at a dispatch
+    boundary. `jnp.asarray(numpy)` can alias the host buffer (zero-copy
+    device_put) and dispatch is asynchronous, so passing `self.pos`/
+    `self.slot_temp`/`self._carry` directly lets the engine's later
+    in-place host mutations (`self.pos += k`, admission writes) race the
+    in-flight step's read of the buffer. Caught live on the forced-CPU
+    test mesh: same-prompt requests intermittently diverged by 0.1-0.4
+    logits, previously misattributed to an XLA "compile lottery" — a
+    held-reference probe showed the dispatched pos array changing value
+    AFTER dispatch (multiples of chunk_size). The copy below is owned by
+    the runtime alone, so no host write can reach it."""
+    return jnp.asarray(a.copy())
+
+
 class _PrefixCache:
     """LRU store of prompt-prefix KV rows at PREFILL_BLOCK-multiple
     lengths (multi-turn chat and shared-system-prompt serving re-send
@@ -240,10 +255,8 @@ class BatchEngine:
         # prefill-specific scoped-vmem limit: see engine.py _prefill_fn
         # (the decode-tuned 12 MB bound compile-OOMs the fused kernels'
         # m=PREFILL_BLOCK scratch at 13B shapes)
-        tuned = dict(self._step_tuned or {})
-        tuned.setdefault("xla_tpu_scoped_vmem_limit_kib", 32768)
-
-        @functools.partial(engine_jit, tuned=tuned,
+        @functools.partial(engine_jit, tuned=self._step_tuned,
+                           vmem_floor_kib=32768,
                            static_argnames=("block", "attn_len"),
                            donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, slot, *, block, attn_len):
@@ -368,9 +381,8 @@ class BatchEngine:
         # matmul outputs VMEM-resident (13.25 MB for qkv at 7B) and
         # compilation fails on the limit; 32 MB admits every projection
         # output while still excluding the (S*T, vocab) logits
-        @functools.partial(engine_jit,
-                           tuned={**(self._step_tuned or {}),
-                                  "xla_tpu_scoped_vmem_limit_kib": 32768},
+        @functools.partial(engine_jit, tuned=self._step_tuned,
+                           vmem_floor_kib=32768,
                            static_argnames=("attn_len", "sampled"),
                            donate_argnames=("cache",))
         def block(params, tokens, pos, cache, coins, temps, topps, *,
@@ -444,9 +456,9 @@ class BatchEngine:
             [[self.rng.random_f32() for _ in range(T)] for _ in range(S)],
             jnp.float32) if sampled else jnp.zeros((S, T), jnp.float32))
         out, self.cache = self._spec_block_fn(
-            self.params, jnp.asarray(inputs), jnp.asarray(self.pos),
-            self.cache, coins, jnp.asarray(self.slot_temp),
-            jnp.asarray(self.slot_topp), attn_len=attn_len,
+            self.params, jnp.asarray(inputs), _dev_snapshot(self.pos),
+            self.cache, coins, _dev_snapshot(self.slot_temp),
+            _dev_snapshot(self.slot_topp), attn_len=attn_len,
             sampled=sampled)
         owners = {s: self._slot_req[s] for s in active}
         start_pos = {s: int(self.pos[s]) for s in active}
@@ -584,7 +596,7 @@ class BatchEngine:
             # chunk is strictly better. Seed the device carry from the
             # host-side next-unconsumed tokens (spec blocks don't
             # maintain the device carry chain).
-            self.last_token = jnp.asarray(self._carry)
+            self.last_token = _dev_snapshot(self._carry)
             chunk = self._dispatch_chunk()
             return ("chunk", chunk) if chunk else None
         return ("block", self._dispatch_spec_block(active, props))
@@ -863,9 +875,10 @@ class BatchEngine:
         # nucleus path sorts (S, vocab) every step)
         sampled = bool((self.slot_temp[active] > 0.0).any())
         toks, self.cache = self._decode_chunk_fn(
-            self.params, jnp.asarray(self.last_token), jnp.asarray(self.pos),
+            self.params, jnp.asarray(self.last_token),
+            _dev_snapshot(self.pos),
             self.cache, coins, jnp.asarray(forced), jnp.asarray(mask),
-            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_topp),
+            _dev_snapshot(self.slot_temp), _dev_snapshot(self.slot_topp),
             attn_len=attn_len, sampled=sampled)
         # owners recorded at dispatch: a slot freed while this chunk was
         # in flight must have its tokens discarded at process time

@@ -52,6 +52,34 @@ def retry_compile_lottery(scenario, attempts=2):
                 raise
 
 
+_ORACLE_FWD_CACHE = {}
+
+
+def _oracle_forward(cfg, max_seq):
+    """ONE shared jitted forward per (cfg, max_seq) for every oracle
+    replay in the suite: all streams are judged by the same compiled
+    executable, so oracle-side per-compile jitter (the XLA CPU
+    backend's near-tie lottery) cannot differ between the checks —
+    any remaining drift is engine-executable vs this one oracle."""
+    import functools
+
+    import jax
+
+    from llama_cu_awq_tpu.models import forward
+
+    key = (cfg, max_seq)  # ModelConfig is a frozen (hashable) dataclass
+    fn = _ORACLE_FWD_CACHE.get(key)
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("n_tok",))
+        def fn(params, tokens, pos, cache, *, n_tok):
+            return forward(params, cfg, tokens, pos, cache,
+                           attn_len=max_seq, act_dtype=jnp.float32,
+                           matmul_impl="dequant")
+
+        _ORACLE_FWD_CACHE[key] = fn
+    return fn
+
+
 def assert_greedy_consistent(params, cfg, prompt, got, tol=1e-1,
                              max_seq=96):
     """The engine's stream must be greedy-consistent with a forward()
@@ -60,14 +88,14 @@ def assert_greedy_consistent(params, cfg, prompt, got, tol=1e-1,
     per-launch numeric jitter (measured flips only at < 0.01 gaps),
     while still failing hard on routing/state bugs (a mis-routed or
     stale token has an arbitrary, decisively-large gap)."""
-    from llama_cu_awq_tpu.models import forward, init_kv_cache
+    from llama_cu_awq_tpu.models import init_kv_cache
 
+    fwd = _oracle_forward(cfg, max_seq)
     assert len(got) >= 1
     cache = init_kv_cache(cfg, 1, max_seq, dtype=jnp.float32)
-    logits, cache = forward(params, cfg, jnp.asarray([prompt]),
-                            jnp.zeros(1, jnp.int32), cache,
-                            attn_len=max_seq, act_dtype=jnp.float32,
-                            matmul_impl="dequant")
+    logits, cache = fwd(params, jnp.asarray([prompt]),
+                        jnp.zeros(1, jnp.int32), cache,
+                        n_tok=len(prompt))
     pos = len(prompt)
     for i, t in enumerate(got):
         lo = np.asarray(logits[0])
@@ -75,10 +103,9 @@ def assert_greedy_consistent(params, cfg, prompt, got, tol=1e-1,
         assert gap < tol, (
             f"step {i}: token {t} is not the greedy choice "
             f"(argmax {int(lo.argmax())}, logit gap {gap:.4f})")
-        logits, cache = forward(params, cfg, jnp.asarray([[t]]),
-                                jnp.asarray([pos], jnp.int32), cache,
-                                attn_len=max_seq, act_dtype=jnp.float32,
-                                matmul_impl="dequant")
+        logits, cache = fwd(params, jnp.asarray([[t]]),
+                            jnp.asarray([pos], jnp.int32), cache,
+                            n_tok=1)
         pos += 1
 
 

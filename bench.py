@@ -313,7 +313,10 @@ def bench_prefill(args, cfg, params, max_seq, impl, mesh=None):
                   + (f"_tp{args.tp}" if args.tp > 1 else ""),
         "value": round(n / best, 1),
         "unit": "tok/s",
-        "vs_baseline": round((n / best) / BASELINE_TOK_S, 4),
+        # the reference publishes no prefill number (prompts feed
+        # token-by-token, llama2_q4.cu:462-479) — comparing prefill
+        # tok/s against its DECODE baseline would be meaningless
+        "vs_baseline": None,
     }))
 
 

@@ -102,6 +102,7 @@ def engine_jit(fun=None, **kw):
     from llama_cu_awq_tpu.ops.linear import _on_tpu
 
     tuned = kw.pop("tuned", None)
+    vmem_floor_kib = kw.pop("vmem_floor_kib", None)
     # the CPU (test) compiler rejects TPU-only option names
     opts = dict(_DEFAULT_COMPILER_OPTS) if _on_tpu() else {}
     if tuned and _on_tpu():
@@ -122,8 +123,22 @@ def engine_jit(fun=None, **kw):
                 continue
             k, v = p.split("=", 1)
             opts[k] = v
+    if vmem_floor_kib is not None and _on_tpu():
+        # a FLOOR, applied after env parsing: steps whose Pallas/fusion
+        # scratch compile-OOMs under the decode-tuned staging limit
+        # (prefill at m=PREFILL_BLOCK, the (S,T) spec block) must keep
+        # their larger pool even when LLAMA_TPU_COMPILER_OPTS (set by
+        # bench_defaults.json's decode stack) carries a smaller value —
+        # a plain tuned= entry would be silently overridden by the env
+        key = "xla_tpu_scoped_vmem_limit_kib"
+        cur = int(opts.get(key, _DEFAULT_COMPILER_OPTS[key]))
+        opts[key] = str(max(cur, int(vmem_floor_kib)))
     if opts:
         kw.setdefault("compiler_options", opts)
+    if os.environ.get("LLAMA_TPU_NO_DONATE"):
+        # debug lever: buffer donation off for every engine step fn
+        # (race bisection; costs a cache-sized copy per step)
+        kw.pop("donate_argnames", None)
     if fun is None:
         return functools.partial(engine_jit, **kw)
     return jax.jit(fun, **kw)
@@ -438,11 +453,8 @@ class InferenceEngine:
         # scratch (13B down-proj at m=128 stacks 15 MB — measured
         # compile OOM at the 2048-window 13B bench), and prefill is
         # compute-bound so decode's staging sweet spot doesn't apply
-        tuned = dict(self._step_tuned or {})
-        tuned.setdefault("xla_tpu_scoped_vmem_limit_kib", 32768)
-
         @functools.partial(
-            engine_jit, tuned=tuned,
+            engine_jit, tuned=self._step_tuned, vmem_floor_kib=32768,
             static_argnames=("block", "attn_len", "logits_all"),
             donate_argnames=("cache",))
         def prefill(params, tokens, pos, cache, *, block, attn_len,

@@ -578,11 +578,17 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     if attn_impl == "fused_step" and T == 1 and not fstep:
         import warnings
 
-        warnings.warn(
-            f"attn_impl='fused_step' needs head_dim % 128 == 0 and "
-            f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
-            f"cache len={full_A0}); falling back to the einsum path",
-            stacklevel=2)
+        if kv4:
+            warnings.warn(
+                "attn_impl='fused_step' does not support the int4 "
+                "nibble-packed KV cache (--kv-bits 4); falling back to "
+                "the einsum path (dequant_kv4)", stacklevel=2)
+        else:
+            warnings.warn(
+                f"attn_impl='fused_step' needs head_dim % 128 == 0 and "
+                f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
+                f"cache len={full_A0}); falling back to the einsum path",
+                stacklevel=2)
     if fstep or mono:
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.ops.pallas.attention_step import (
@@ -697,11 +703,17 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 and not batched and l == 0):
             import warnings
 
-            warnings.warn(
-                f"attn_impl='batched' needs head_dim % 128 == 0 and "
-                f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
-                f"cache len={full_A}); falling back to the einsum path",
-                stacklevel=2)
+            if kv4:
+                warnings.warn(
+                    "attn_impl='batched' does not support the int4 "
+                    "nibble-packed KV cache (--kv-bits 4); falling back "
+                    "to the einsum path (dequant_kv4)", stacklevel=2)
+            else:
+                warnings.warn(
+                    f"attn_impl='batched' needs head_dim % 128 == 0 and "
+                    f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
+                    f"cache len={full_A}); falling back to the einsum "
+                    f"path", stacklevel=2)
         if cache.quantized:
             qfn = quantize_kv4 if kv4 else quantize_kv
             kq, ks = qfn(kh)

@@ -18,6 +18,47 @@ BOS_TOKEN = 1  # reference: tokenizer.h:8
 EOS_TOKEN = 2  # reference: tokenizer.h:9
 
 
+def _resolve_lookup(vocab: list[bytes]) -> dict[bytes, int]:
+    """piece -> token id, resolving DUPLICATE pieces exactly as the
+    reference's `str_lookup` does (tokenizer.h:95-100).
+
+    The llama-2 tokenizer.bin stores byte-fallback pieces as raw bytes,
+    so every printable ASCII char (and 108 two-byte UTF-8 sequences)
+    appears TWICE: once as the byte token (id = byte + 3) and once as a
+    real sentencepiece piece (e.g. 'x' at both 123 and 29916). The
+    reference qsorts (str, id) records by strcmp and bsearches — which
+    duplicate it returns is whatever the search lands on, and the
+    engine's encodings (initial codepoint lookups AND merge-concat
+    lookups, which set merge scores) depend on that choice. Reproduce it
+    exactly: stable-sort by the C-string key (strcmp stops at NUL), then
+    walk glibc bsearch's midpoint sequence to find the landing index.
+    Validated piece-for-piece against a compiled reference harness over
+    all 255 single-byte strings (tests/test_reference_parity.py)."""
+    def ckey(p: bytes) -> bytes:
+        i = p.find(b"\0")
+        return p if i < 0 else p[:i]
+
+    order = sorted(range(len(vocab)), key=lambda i: ckey(vocab[i]))
+    keys = [ckey(vocab[i]) for i in order]
+    n = len(keys)
+    resolved: dict[bytes, int] = {}
+    for i, piece in enumerate(vocab):
+        key = ckey(piece)
+        if key in resolved:
+            continue
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if key < keys[mid]:
+                hi = mid
+            elif key > keys[mid]:
+                lo = mid + 1
+            else:
+                resolved[key] = order[mid]
+                break
+    return resolved
+
+
 class Tokenizer:
     def __init__(self, path: str, vocab_size: int):
         """Load a llama2.c tokenizer.bin (reference: tokenizer.h:35-59).
@@ -34,15 +75,12 @@ class Tokenizer:
                 score, ln = struct.unpack("<fi", f.read(8))
                 self.vocab.append(f.read(ln))
                 self.scores.append(score)
-        self._lookup = {}
-        for i, piece in enumerate(self.vocab):
-            # first occurrence wins ties, matching the reference's bsearch
-            # over a stable-sorted unique-keyed table; llama vocabs have
-            # duplicate-free strings except possibly unused slots.
-            self._lookup.setdefault(piece, i)
+        self._lookup = _resolve_lookup(self.vocab)
         self._native = _load_native_for(self)
 
     def str_lookup(self, piece: bytes) -> int:
+        if b"\0" in piece:  # C-string semantics (strcmp stops at NUL)
+            piece = piece.split(b"\0", 1)[0]
         return self._lookup.get(piece, -1)
 
     def encode(self, text: str | bytes, bos: bool, eos: bool) -> list[int]:
@@ -65,7 +103,7 @@ class Tokenizer:
             while j < n and (text[j] & 0xC0) == 0x80 and (j - i) < 4:
                 j += 1
             chunk = text[i:j]
-            tid = self._lookup.get(chunk, -1)
+            tid = self.str_lookup(chunk)
             if tid != -1:
                 tokens.append(tid)
             else:
@@ -173,14 +211,19 @@ class _NativeMerger:
         self._flat = ctypes.create_string_buffer(flat, len(flat))
         lens = (ctypes.c_int * n)(*[len(v) for v in tok.vocab])
         scores = (ctypes.c_float * n)(*tok.scores)
+        # duplicate-piece resolution (see _resolve_lookup): the id a
+        # lookup of vocab[i]'s string must return
+        resolved = (ctypes.c_int * n)(
+            *[tok.str_lookup(v) for v in tok.vocab])
         lib.bpe_create.restype = ctypes.c_void_p
         lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-                                   ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         lib.bpe_destroy.argtypes = [ctypes.c_void_p]
         lib.bpe_merge.restype = ctypes.c_int
         lib.bpe_merge.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                                   ctypes.c_int]
-        self._handle = lib.bpe_create(self._flat, lens, scores, n)
+        self._handle = lib.bpe_create(self._flat, lens, scores, resolved, n)
 
     def __del__(self):
         if getattr(self, "_handle", None):

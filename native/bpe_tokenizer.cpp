@@ -54,11 +54,15 @@ struct CandLess {  // max-heap: higher score first, then leftmost
 
 extern "C" {
 
-// flat: vocab pieces joined by '\0' (lens[] is authoritative — pieces
-// themselves never contain NUL in llama2.c vocabs; byte tokens are the
-// literal strings "<0xXX>").
+// flat: vocab pieces joined by '\0' (lens[] is authoritative).
+// resolved[i]: the token id a lookup of vocab[i]'s string must return.
+// llama vocabs contain DUPLICATE piece strings (byte-fallback tokens
+// stored as raw bytes shadow real single-char/2-byte pieces); which
+// duplicate wins is reference-defined by its qsort+bsearch
+// (tokenizer.h:95-100), so the caller (tokenizer.py _resolve_lookup)
+// computes the winner once and both lookup paths share it.
 void* bpe_create(const char* flat, const int* lens, const float* scores,
-                 int n) {
+                 const int* resolved, int n) {
   auto* t = new BPE();
   t->vocab.reserve(n);
   t->scores.assign(scores, scores + n);
@@ -66,7 +70,7 @@ void* bpe_create(const char* flat, const int* lens, const float* scores,
   for (int i = 0; i < n; i++) {
     t->vocab.emplace_back(flat + off, (size_t)lens[i]);
     off += (size_t)lens[i] + 1;  // skip the separator
-    t->lookup.emplace(t->vocab.back(), i);  // keeps the first id on dup
+    t->lookup.emplace(t->vocab.back(), resolved ? resolved[i] : i);
   }
   return t;
 }

@@ -156,7 +156,7 @@ def _gemv_2d(x2: jax.Array, w: jax.Array, scale=None, *,
         in_specs = [
             pl.BlockSpec((m, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         args = [x2, w]
         if scale is not None:

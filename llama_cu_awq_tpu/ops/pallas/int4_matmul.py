@@ -290,8 +290,8 @@ def _int4_matmul_2d(x2: jax.Array, qw, meta, *, interpret=False,
                     pl.BlockSpec((m, chunks * PLANAR_BLOCK),
                                  lambda j, i: (0, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((m, d_pad), lambda j, i: (0, 0),
                                        memory_space=pltpu.VMEM),
@@ -554,8 +554,8 @@ def _int4_matmul_fused_2d(x2, u2, ss, nw, qw, meta, res, *, emit_ss_eps,
                                      memory_space=pltpu.VMEM))
         args.append(nw)
     if manual_dma:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
-                     pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
     else:
         in_specs += [
             pl.BlockSpec((chunks * 64, tile_d), lambda j, i: (j, i),

@@ -438,7 +438,7 @@ def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
     (ops/pallas/int4_chain.py) so the layer's o-proj+FFN weights
     stream through a single uninterrupted DMA pipeline.
     """
-    if fused and chain:
+    if fused and chain and tp_axis is None:
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.ops.pallas.int4_chain import (
             ffn_chain, ffn_chain_supported)
@@ -452,6 +452,33 @@ def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
                              layer.w_gate_up, layer.w_down,
                              eps=RMS_EPS, out_dtype=act_dtype,
                              interpret=not _on_tpu())
+    if fused and tp_axis:
+        # tensor-parallel fused path: the row-parallel o/down kernels
+        # emit PRE-psum partials (their prologues — rms-apply, SwiGLU —
+        # act on replicated/elementwise-per-shard data so they stay in
+        # the kernel), and the residual-add + next-rms-scale epilogues
+        # move AFTER the collective, where XLA fuses them into the psum
+        # consumer. Expected per-chip cost vs single-device fused: two
+        # f32 psums per layer plus the two epilogues as XLA fusions
+        # (~the glue the epilogue fusion saves, paid only on the
+        # row-parallel pair); the prologue fusions and the fused qkv
+        # prescale are retained.
+        def after_psum(part, res):
+            xf = lax.psum(part, tp_axis) + res.astype(jnp.float32)
+            ss = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + RMS_EPS)
+            return xf.astype(act_dtype), ss
+
+        part, _ = qmatmul_fused(attn, layer.wo, matmul_impl,
+                                out_dtype=jnp.float32)
+        x, ss = after_psum(part, x)
+        gu, _ = qmatmul_fused(x, layer.w_gate_up, matmul_impl,
+                              prescale=(ss, layer.ffn_norm),
+                              out_dtype=act_dtype)
+        g, u = jnp.split(gu, 2, axis=-1)
+        part, _ = qmatmul_fused(g, layer.w_down, matmul_impl,
+                                silu_u=u, out_dtype=jnp.float32)
+        return after_psum(part, x)
     if fused:
         x, ss = qmatmul_fused(attn, layer.wo, matmul_impl,
                               residual=x, emit_ss_eps=RMS_EPS,
@@ -509,11 +536,12 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # fused layer path: pull the per-matmul glue (rmsnorm apply, SwiGLU,
     # residual adds) into the Pallas kernels — batch-1 decode is exposed-
     # latency-bound on that glue (see ops/pallas/int4_matmul.py). The rms
-    # scale chains kernel-to-kernel as a (B, T, 1) scalar. Disabled under
-    # TP (residual/ss epilogues would run pre-psum) and on non-kernel
-    # layouts/impls.
+    # scale chains kernel-to-kernel as a (B, T, 1) scalar. Under TP the
+    # row-parallel kernels emit pre-psum partials and the residual/ss
+    # epilogues run after the collective (_post_attention's tp branch),
+    # so the prologue fusions are kept on every shard.
     if fused is None:
-        fused = (tp_axis is None and bool(params.layers)
+        fused = (bool(params.layers)
                  and isinstance(params.layers[0].wqkv, QTensorTPU)
                  and resolved_impl(matmul_impl) == "pallas")
     if chain is None:  # opt-in single-launch o-proj+FFN chain kernel
@@ -543,8 +571,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # the window on the fly via dequant_kv4).
     kv4 = (cache.quantized and bool(cache.k)
            and cache.k[0].shape[-1] == cfg.head_dim // 2)
+    # (fused_step/mono stay single-device for now: the kernels are
+    # head-parallel so a per-shard run should be valid, but no chip
+    # measurement of the TP composition exists — einsum + the TP-fused
+    # matmul path is the verified configuration under shard_map)
     shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
-                 and full_A0 % 128 == 0 and H % KV == 0 and not kv4)
+                 and full_A0 % 128 == 0 and H % KV == 0 and not kv4
+                 and tp_axis is None)
     # attn_impl "auto" (the engines' default): einsum attention for
     # shallow windows, the fused_step kernel once the window is deep
     # enough that streaming the KV window through one kernel beats

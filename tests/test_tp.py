@@ -43,6 +43,46 @@ def _single_device_logits(ckpt, tokens):
 
 
 @pytest.mark.parametrize("tp", [2, 4])
+def test_tp_fused_pallas_matches_single_device(tp_config, tp):
+    """The TP-FUSED path (matmul_impl='pallas', interpret-mode kernels
+    under shard_map): row-parallel o/down kernels emit pre-psum
+    partials, residual + next-rms-scale run after the collective
+    (models/llama._post_attention tp branch). Must match the
+    single-device dequant oracle like the unfused path does."""
+    assert len(jax.devices()) >= tp
+    cfg = tp_config
+    ckpt = random_checkpoint(cfg, seed=78)
+    tokens = [3, 141, 59, 26, 500]
+
+    expect = _single_device_logits(ckpt, tokens)
+
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    params = tp_params_from_checkpoint(ckpt, tp, param_dtype=jnp.float32)
+    params = place_params(params, cfg, mesh)
+    cache = tp_init_kv_cache(cfg, 1, 32, mesh, dtype=jnp.float32)
+    fwd = make_tp_forward(cfg, mesh, attn_len=32, act_dtype=jnp.float32,
+                          matmul_impl="pallas", logits_all=True)
+    logits, _ = fwd(params, jnp.asarray([tokens]),
+                    jnp.zeros(1, jnp.int32), cache)
+    # bf16 effective-x staging inside the fused kernels vs the f32
+    # oracle: same tolerance class as the single-device fused tests
+    np.testing.assert_allclose(np.asarray(logits), expect, rtol=2e-2,
+                               atol=2e-2)
+
+    # and TIGHTLY against the single-device FUSED pallas path (same
+    # kernel numerics; only the psum split order differs)
+    sd_params = params_from_checkpoint(ckpt, param_dtype=jnp.float32,
+                                       tpu_layout=True)
+    sd_cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    sd_logits, _ = forward(sd_params, cfg, jnp.asarray([tokens]),
+                           jnp.zeros(1, jnp.int32), sd_cache,
+                           attn_len=32, act_dtype=jnp.float32,
+                           matmul_impl="pallas", logits_all=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(sd_logits),
+                               rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
 def test_tp_forward_matches_single_device(tp_config, tp):
     assert len(jax.devices()) >= tp
     cfg = tp_config

@@ -79,7 +79,7 @@ def bench_point(cfg, mesh, args, impl):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="7b", choices=["7b", "13b", "tiny"])
+    ap.add_argument("--config", default="7b", choices=["7b", "13b", "13b-mini", "tiny"])
     ap.add_argument("--tps", default="1",
                     help="comma-separated tensor-parallel widths, e.g. 1,4,8")
     ap.add_argument("--slots", type=int, default=32)
@@ -99,6 +99,15 @@ def main():
                     help="multi-host: host0:port of process 0")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model on 8 virtual CPU devices")
+    ap.add_argument("--virtual", action="store_true",
+                    help="1->2->4->8 sweep on 8 VIRTUAL CPU devices with "
+                         "a 13B-proportioned mini model — exercises the "
+                         "full tp sharding/collective path and records "
+                         "the efficiency curve the real-hardware "
+                         "invocation (--config 13b --tps 1,4,8) would "
+                         "produce. NOT hardware numbers: all virtual "
+                         "devices share one CPU's cycles, so 'efficiency' "
+                         "here measures sharding overhead, not speedup.")
     args = ap.parse_args()
 
     import jax
@@ -110,6 +119,14 @@ def main():
         args.tps, args.slots, args.requests = "1,2", 4, 8
         args.steps, args.max_seq, args.repeats = 16, 64, 1
         args.chunk_size = 4
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        args.config = "13b-mini"
+        args.tps = args.tps if args.tps != "1" else "1,2,4,8"
+        args.slots, args.requests = 8, 16
+        args.steps, args.max_seq = 32, 256
+        args.chunk_size = 8
     if args.nprocs > 1:
         from llama_cu_awq_tpu.parallel import init_multihost
 
@@ -126,6 +143,12 @@ def main():
         cfg = LLAMA2_7B
     elif args.config == "13b":
         cfg = LLAMA2_13B
+    elif args.config == "13b-mini":
+        # 13B proportions (hidden/dim ~2.75, MHA like 13B) scaled to CPU
+        # size with 8 heads of head_dim 128, so the tp=8 shard path is
+        # exercised within the per-shard kv_dim >= 128 layout constraint
+        cfg = ModelConfig(dim=1024, hidden_dim=2816, n_layers=2, n_heads=8,
+                          n_kv_heads=8, vocab_size=2048, seq_len=512)
     else:
         cfg = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=2,
                           n_kv_heads=2, vocab_size=512, seq_len=512)

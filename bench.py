@@ -111,7 +111,19 @@ def main():
         with open(dflt) as f:
             tuned = json.load(f)
         key = "batch" if args.mode == "batch" else "decode"
+        # plain decode (--spec none) and the speculative default want
+        # DIFFERENT staging strategies (r3 chip A/Bs: the manual-DMA
+        # ring wins plain by ~3% but loses spec by ~3-5% — the verify
+        # block amortizes weight reads and MSA overlap wins there), so
+        # the two modes carry separate tuned profiles
+        if key == "decode" and args.spec == "none" \
+                and "decode_plain" in tuned:
+            key = "decode_plain"
         cfg_t = tuned.get(key, {})
+        # tuned env knobs (e.g. the manual-DMA ring depth); explicitly
+        # preset env vars still win
+        for k, v in (cfg_t.get("env") or {}).items():
+            os.environ.setdefault(k, str(v))
         args.attn_impl = cfg_t.get("attn_impl")
         args.chain = bool(cfg_t.get("chain"))
         # quantized-lm_head / chunk-size / compiler-flag defaults are

@@ -629,6 +629,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
         cos2, sinm = rope_rows(pos, cfg.head_dim, cfg.rope_theta)
 
+    # T > 1 (teacher-forced prefill / perplexity) attention: the
+    # blockwise causal flash kernel (ops/pallas/prefill_attention.py)
+    # replaces the einsum path's materialized (B, T, Hkv, kv_mul, A)
+    # f32 score tensor. attn_impl="einsum" (or the env kill-switch
+    # LLAMA_TPU_PREFILL_ATTN=einsum) forces the plain path; kv4 and TP
+    # stay on einsum (the kernel doesn't speak the nibble packing, and
+    # no chip measurement of the TP composition exists).
+    pfk = (T > 1 and not kv4 and tp_axis is None
+           and attn_impl in (None, "flash", "fused_step", "batched",
+                             "batched_static", "mono")
+           and os.environ.get("LLAMA_TPU_PREFILL_ATTN",
+                              "pallas") != "einsum")
+    if pfk:
+        from llama_cu_awq_tpu.ops.pallas import prefill_attention as pf
+
+        pfk = pf.supports(T, H, D, full_A0, KV)
+
     # unrolled layer loop: per-layer weights/caches are separate arrays,
     # so Pallas kernels and attention read them with zero copies (a
     # lax.scan over stacked tensors would materialize a dynamic-slice of
@@ -757,7 +774,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             vs_l = _update_cache(cache.v_scale[l], vs, pos)
             new_ks.append(ks_l)
             new_vs.append(vs_l)
-            if batched:
+            if batched or pfk:
                 # full window, unsliced: a [:, :A] slice feeding a
                 # pallas custom call cannot fuse (XLA materializes a
                 # copy of the cache); the kernel's per-slot early exit
@@ -779,7 +796,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             k_cache_l = _update_cache(cache.k[l], kh, pos)
             v_cache_l = _update_cache(cache.v[l], vh, pos)
-            if batched:  # unsliced: see the quantized branch
+            if batched or pfk:  # unsliced: see the quantized branch
                 k_att, v_att = k_cache_l, v_cache_l
             else:
                 k_att, v_att = k_cache_l[:, :A], v_cache_l[:, :A]
@@ -795,6 +812,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 attn_len=A, early_exit=attn_impl != "batched_static",
                 interpret=not _on_tpu()).reshape(B, 1, H * D).astype(
                     act_dtype)
+        elif pfk:
+            from llama_cu_awq_tpu.ops.linear import _on_tpu
+
+            attn = pf.prefill_attention(
+                qh, k_att, v_att, pos, scales[0], scales[1],
+                attn_len=A, interpret=not _on_tpu()).reshape(
+                    B, T, H * D).astype(act_dtype)
         else:
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)

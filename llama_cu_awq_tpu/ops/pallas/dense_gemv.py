@@ -108,6 +108,8 @@ def _gemv_mdma_n_buf() -> int:
         # (vs the int4 kernels' ~1-2 MB blocks), so a deep ring would
         # blow the scoped-VMEM pool
         v = os.environ.get("LLAMA_INT4_MANUAL_DMA", "0")
+        if ":" in v:
+            v = "0"  # exact-shape form is int4-kernel-only; gemv opts out
         n = 2 if int(v or 0) else 0
     else:
         v = int(v or 0)

@@ -149,15 +149,30 @@ def _make_kernel_dinner_mdma(chunks: int, tile_d: int, d_tiles: int,
     return _kernel
 
 
-def _mdma_n_buf() -> int:
+def _mdma_n_buf(n_chunks: int | None = None,
+                d_pad: int | None = None) -> int:
     """0 = auto-pipeline (default); N>=2 = manual-DMA streaming with an
     N-deep scratch ring (LLAMA_INT4_MANUAL_DMA=N; N=1 coerces to 2).
+    Two forms, mirroring LLAMA_INT4_TILING's sweep escape hatches:
+      "N"                — every int4 kernel streams with an N-ring
+      "nc:dp:N[;...]"    — exact-shape overrides keyed by (n_chunks,
+        d_pad), so a per-PROJECTION hybrid (e.g. ring only for gate_up)
+        is one env var away; unlisted shapes keep the auto-pipeline
     TPU-only: the CPU interpreters don't carry cross-grid-step DMA
     semaphore state (multi-step grids hang), and tests force interpret
     mode — a globally-exported env var must not reach them."""
     import os
 
-    v = int(os.environ.get("LLAMA_INT4_MANUAL_DMA", "0") or 0)
+    raw = os.environ.get("LLAMA_INT4_MANUAL_DMA", "0") or "0"
+    if ":" in raw:
+        v = 0
+        for ent in raw.split(";"):
+            nc, dp, n = (int(s) for s in ent.split(":"))
+            if (nc, dp) == (n_chunks, d_pad):
+                v = n
+                break
+    else:
+        v = int(raw)
     if not v:
         return 0
     from llama_cu_awq_tpu.ops.linear import _on_tpu
@@ -361,8 +376,9 @@ def int4_matmul(x: jax.Array, qt: QTensorTPU, *,
     x2 = x.reshape(m, n_in).astype(jnp.bfloat16)
     if qt.n_pad != n_in:
         x2 = jnp.pad(x2, ((0, 0), (0, qt.n_pad - n_in)))
-    out = _int4_matmul_2d(x2, qt.qw, qt.meta, interpret=interpret,
-                          manual_dma=_mdma_n_buf())
+    out = _int4_matmul_2d(
+        x2, qt.qw, qt.meta, interpret=interpret,
+        manual_dma=_mdma_n_buf(qt.n_pad // PLANAR_BLOCK, qt.d_pad))
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]  # drop zero-scale padding columns
     return out.reshape(*lead, qt.n_out)
@@ -660,7 +676,8 @@ def int4_matmul_fused(x: jax.Array, qt: QTensorTPU, *,
     out, ss_out = _int4_matmul_fused_2d(
         x2, u2, ss, nw, qt.qw, qt.meta, res, emit_ss_eps=emit_ss_eps,
         out_dtype=jnp.dtype(out_dtype), n_real=qt.n_out,
-        interpret=interpret, manual_dma=_mdma_n_buf())
+        interpret=interpret,
+        manual_dma=_mdma_n_buf(qt.n_pad // PLANAR_BLOCK, qt.d_pad))
     if qt.d_pad != qt.n_out:
         out = out[:, : qt.n_out]
     out = out.reshape(*lead, qt.n_out)

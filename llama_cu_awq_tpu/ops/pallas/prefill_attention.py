@@ -1,0 +1,213 @@
+"""Blockwise causal PREFILL attention Pallas kernel (flash forward).
+
+The T>1 sibling of ops/pallas/attention_step.py: teacher-forced block
+prefill (the reference has no prefill at all — prompts feed token by
+token, llama2_q4.cu:462-479; this is a TPU-first axis) previously ran
+the einsum path in models/llama.py:_attention, which materializes a
+per-layer (B, T, Hkv, kv_mul, A) f32 score tensor — 528 MB at
+T=2016/A=2048 — and staged the full window through HBM twice. XProf
+put prefill at 59% of MXU peak with attention the gap.
+
+This kernel runs the standard flash/online-softmax recurrence over the
+KV cache window, one (batch, kv-head) pair per grid row:
+
+  scores (Tm, a_blk) = Q_h (Tm, D) @ K_blk^T        Tm = T * kv_mul
+  online softmax per query row, acc (Tm, D) += P @ V_blk
+
+Every dot is a dense MXU op at prefill shapes (Tm 128-512, D 128,
+a_blk 256+), unlike decode where the (1, D) rows starve the MXU — which
+is why the decode einsum default stays (PERFORMANCE.md round-2).
+
+Causality: key s is visible to query row r (token t = r // kv_mul) iff
+s <= pos[b] + t. Per-slot early exit as in batched_attention.py: `pos`
+is scalar-prefetched and the KV block index map clamps at the last
+block any query of slot b can see — Mosaic elides the repeated-block
+DMA and pl.when skips the compute, so a short prompt in a long bucket
+pays only for its own window. Blocks entirely below the causal horizon
+skip the mask compare; the diagonal block applies the row/col compare.
+
+int8 KV plugs in natively (codes -> bf16 exact in-kernel; per-(pos,
+head) scales fold into the score matrix and the probability matrix),
+so quantized-cache prefill never materializes a dequantized window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK_TARGET_BYTES = 1 << 20
+_NEG = -1e30
+
+
+def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
+                 scale: float, quantized: bool):
+    def _kernel(*refs):
+        it = iter(refs)
+        pos_ref = next(it)
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        ks_ref = next(it) if quantized else None
+        vs_ref = next(it) if quantized else None
+        o_ref = next(it)
+        acc_ref = next(it)   # (Tm, D) f32
+        m_ref = next(it)     # (Tm, 128) f32 running max
+        l_ref = next(it)     # (Tm, 128) f32 running denom
+
+        b = pl.program_id(0)
+        a = pl.program_id(2)
+
+        @pl.when(a == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        # last block any query row of this slot can see: the top row's
+        # token index is (Tm-1)//kv_mul, horizon pos + that
+        horizon = pos_ref[b] + (Tm - 1) // kv_mul
+
+        @pl.when(a * a_blk <= horizon)
+        def _():
+            q_h = q_ref[0, 0]                                # (Tm, D) bf16
+            k_blk = k_ref[0][:, 0].astype(jnp.bfloat16)      # (a_blk, D)
+            v_blk = v_ref[0][:, 0].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_h, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (Tm, a_blk)
+            if quantized:
+                ks = ks_ref[0][:, :1].astype(jnp.float32)    # (a_blk, 1)
+                s = s * jnp.swapaxes(ks, 0, 1)               # cols scale
+            s = s * scale
+            # causal mask; blocks fully below the earliest query's
+            # horizon (s_max <= pos, every row sees them) skip it
+            row_t = jax.lax.broadcasted_iota(
+                jnp.int32, (Tm, a_blk), 0) // kv_mul
+            col_s = a * a_blk + jax.lax.broadcasted_iota(
+                jnp.int32, (Tm, a_blk), 1)
+            valid = col_s <= pos_ref[b] + row_t
+            s = jnp.where(valid, s, _NEG)
+            m_old = m_ref[:, :1]                             # (Tm, 1)
+            m_new = jnp.maximum(m_old,
+                                jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)                   # (Tm, 1)
+            p = jnp.exp(s - m_new)                           # (Tm, a_blk)
+            p = jnp.where(valid, p, 0.0)
+            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True)
+            m_ref[:, :1] = m_new
+            if quantized:
+                vs = vs_ref[0][:, :1].astype(jnp.float32)    # (a_blk, 1)
+                p = p * jnp.swapaxes(vs, 0, 1)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (Tm, D)
+            acc_ref[:] = acc_ref[:] * alpha + pv
+
+        @pl.when(a == n_blocks - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+
+    return _kernel
+
+
+def supports(T: int, H: int, D: int, A: int, n_kv: int) -> bool:
+    """Shapes the kernel handles: lane-complete heads, a 128-granular
+    window, sublane-complete (T * kv_mul) query rows."""
+    if H % n_kv or D % 128 or A % 128:
+        return False
+    Tm = T * (H // n_kv)
+    return Tm % 8 == 0 and Tm * D * 4 <= (8 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "attn_len"))
+def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
+                      attn_len: int | None = None,
+                      interpret: bool = False) -> jax.Array:
+    """q: (B, T, H, D); k, v: (B, A, Hkv, D) bf16 — or int8 codes with
+    k_scale/v_scale (B, A, Hkv) f32; pos: (B,) first absolute position
+    of the block (the caches already contain the block's own k/v).
+    attn_len: static bound on pos + T (the engine's attention bucket);
+    the grid only covers its blocks — the cache is read in place.
+    Returns (B, T, H, D) f32.
+    """
+    B, T, H, D = q.shape
+    A, n_kv = k.shape[1], k.shape[2]
+    kv_mul = H // n_kv
+    Tm = T * kv_mul
+    quantized = k_scale is not None
+    a_blk = 128
+    for cand in (512, 256):
+        if A % cand == 0 and cand * D * k.dtype.itemsize \
+                <= _BLK_TARGET_BYTES:
+            a_blk = cand
+            break
+    n_blocks = -(-min(attn_len or A, A) // a_blk)
+    scale = 1.0 / float(np.sqrt(D))
+
+    # (B, T, H, D) -> (B, n_kv, Tm, D) with row r = t * kv_mul + g
+    qk = q.reshape(B, T, n_kv, kv_mul, D).transpose(0, 2, 1, 3, 4)
+    qk = qk.reshape(B, n_kv, Tm, D).astype(jnp.bfloat16)
+
+    kernel = _make_kernel(n_blocks, a_blk, Tm, kv_mul, D, scale,
+                          quantized)
+
+    def kv_map(b, h, a, p):
+        # clamp at the last visible block -> repeated index elides DMA
+        last = (p[b] + (Tm - 1) // kv_mul) // a_blk
+        return (b, jnp.minimum(a, last), h, 0)
+
+    def sc_map(b, h, a, p):
+        last = (p[b] + (Tm - 1) // kv_mul) // a_blk
+        return (b, jnp.minimum(a, last), h)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, Tm, D), lambda b, h, a, p: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, 1, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, 1, D), kv_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qk, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, a_blk, 1), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_blk, 1), sc_map, memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale, v_scale]
+
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * n_kv * Tm * D * A,
+        bytes_accessed=(2 * B * A * n_kv * D * k.dtype.itemsize
+                        + B * Tm * n_kv * D * 6),
+        transcendentals=B * n_kv * Tm * A)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_kv, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Tm, D),
+                               lambda b, h, a, p: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Tm, D), jnp.float32),
+            pltpu.VMEM((Tm, 128), jnp.float32),
+            pltpu.VMEM((Tm, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_kv, Tm, D), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), *args)
+    # (B, n_kv, T, kv_mul, D) -> (B, T, n_kv, kv_mul, D) = (B, T, H, D)
+    out = out.reshape(B, n_kv, T, kv_mul, D).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, H, D)

@@ -31,6 +31,10 @@ import os
 import struct
 import sys
 
+# runnable as `python tools/export_tokenizer.py` without an installed
+# package: the repo root (one level up) carries llama_cu_awq_tpu/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = 0

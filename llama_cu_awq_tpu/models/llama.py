@@ -565,19 +565,23 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # the write->read serialization disappears)
     full_A0 = cache.k[0].shape[1] if cache.k else A
     # 4-bit KV mode: detected from the packed cache's halved last dim
-    # (init_kv_cache(kv_bits=4)). The int8-NATIVE kernels (fused_step /
-    # mono / batched) read codes+scales directly and don't speak the
-    # nibble packing, so kv4 forces the einsum path (which dequantizes
-    # the window on the fly via dequant_kv4).
+    # (init_kv_cache(kv_bits=4)). fused_step speaks the nibble packing
+    # natively (attention_step kv_bits=4: split-plane dots, in-kernel
+    # quantize+pack — so the capacity mode composes with the deep-window
+    # kernel win instead of cancelling it, VERDICT r3 item 5);
+    # mono/batched still force the einsum path (dequant_kv4 split dots).
+    # LLAMA_TPU_FSTEP_KV4=0 is the kill switch back to einsum.
     kv4 = (cache.quantized and bool(cache.k)
            and cache.k[0].shape[-1] == cfg.head_dim // 2)
+    kv4_fstep_ok = (not kv4
+                    or os.environ.get("LLAMA_TPU_FSTEP_KV4", "1") == "1")
     # (fused_step/mono stay single-device for now: the kernels are
     # head-parallel so a per-shard run should be valid, but no chip
     # measurement of the TP composition exists — einsum + the TP-fused
     # matmul path is the verified configuration under shard_map)
     shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
-                 and full_A0 % 128 == 0 and H % KV == 0 and not kv4
-                 and tp_axis is None)
+                 and full_A0 % 128 == 0 and H % KV == 0
+                 and kv4_fstep_ok and tp_axis is None)
     # attn_impl "auto" (the engines' default): einsum attention for
     # shallow windows, the fused_step kernel once the window is deep
     # enough that streaming the KV window through one kernel beats
@@ -597,7 +601,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # matmuls) as one Pallas launch (int4_chain.mono_layer); implies
     # the fused_step + chain design, falls back to fused_step when the
     # shapes/VMEM budget don't fit
-    mono = attn_impl == "mono" and shapes_ok and fused
+    mono = attn_impl == "mono" and shapes_ok and not kv4 and fused
     if mono:
         from llama_cu_awq_tpu.ops.pallas.int4_chain import mono_supported
 
@@ -613,8 +617,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
         if kv4:
             warnings.warn(
-                "attn_impl='fused_step' does not support the int4 "
-                "nibble-packed KV cache (--kv-bits 4); falling back to "
+                "attn_impl='fused_step' with the int4 KV cache is "
+                "disabled (LLAMA_TPU_FSTEP_KV4=0); falling back to "
                 "the einsum path (dequant_kv4)", stacklevel=2)
         else:
             warnings.warn(
@@ -723,7 +727,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 qkv[:, 0], cache.k[l], cache.v[l], pos, cos2, sinm,
                 cache.k_scale[l] if cache.quantized else None,
                 cache.v_scale[l] if cache.quantized else None,
-                n_heads=H, attn_len=A, interpret=not _on_tpu())
+                n_heads=H, attn_len=A, kv_bits=4 if kv4 else 8,
+                interpret=not _on_tpu())
             new_k.append(_update_cache(cache.k[l], kn[:, None], pos))
             new_v.append(_update_cache(cache.v[l], vn[:, None], pos))
             if cache.quantized:

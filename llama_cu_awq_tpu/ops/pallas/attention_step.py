@@ -68,7 +68,17 @@ def rope_rows(pos: jax.Array, head_dim: int, theta: float):
 
 
 def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
-                 D: int, scale: float, quantized: bool, kv_dtype):
+                 D: int, scale: float, quantized: bool, kv_dtype,
+                 kv4: bool = False):
+    """kv4: the cache is nibble-HALVES packed int4 (models.llama.
+    quantize_kv4 — byte i of a head = lane i low nibble, lane i + D/2
+    high nibble, scale absmax/7). The kernel keeps the packing native:
+    scores run as SPLIT dots, one per nibble plane, against two
+    block-diagonal Q matrices (one per D-half), and A·V accumulates the
+    two output halves separately — no full-width window is ever
+    materialized, same reason as the einsum path's split-dot layout
+    (models/llama.py:_attention kv4 branch, measured +35% over an
+    interleaved unpack)."""
     kv_mul = H // n_kv
     HD = n_kv * D
     half = D // 2
@@ -229,6 +239,168 @@ def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
     return _kernel
 
 
+def _unpack4(c, dtype):
+    """int8 packed nibbles -> (lo, hi) signed int4 values in dtype;
+    branch-free int32 ops (sign via the xor-bias identity)."""
+    c32 = c.astype(jnp.int32)
+    lo = ((c32 & 0xF) ^ 8) - 8
+    hi = (((c32 >> 4) & 0xF) ^ 8) - 8
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
+                     n_kv: int, D: int, scale: float):
+    """kv_bits=4 variant of _make_kernel (see its docstring): the cache
+    arrives nibble-HALVES packed and FLATTENED to (B, A, n_kv * D/2)
+    int8 (lane-complete blocks), scores/AV run as split dots per nibble
+    plane against two half-width block-diagonal Q matrices, and the new
+    cache row is quantized + packed in-kernel (parity with
+    models.llama.quantize_kv4: scale absmax/7, clip to +-7)."""
+    kv_mul = H // n_kv
+    half = D // 2
+    HDh = n_kv * half
+
+    def _expand_mat():
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, (n_kv, Hp), 0)
+        col_kv = jax.lax.broadcasted_iota(jnp.int32, (n_kv, Hp), 1) // kv_mul
+        return jnp.where(kv_idx == col_kv, 1.0, 0.0)
+
+    def _kernel(*refs):
+        (pos_ref, qkv_ref, cos_ref, sin_ref, k_ref, v_ref, ks_ref,
+         vs_ref, o_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
+         qlo_ref, qhi_ref, alo_ref, ahi_ref, m_ref, l_ref) = refs
+
+        b = pl.program_id(0)
+        a = pl.program_id(1)
+
+        def online_update(k_lo, k_hi, v_lo, v_hi, ks_row, vs_row, valid):
+            """Flash step over plane-split (rows, HDh) bf16 blocks;
+            ks_row/vs_row: (rows, n_kv) f32 scales."""
+            raw = (jax.lax.dot_general(
+                       k_lo, qlo_ref[:], (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       k_hi, qhi_ref[:], (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32))  # (rows, Hp)
+            expand = _expand_mat() if (kv_mul > 1 or Hp != n_kv) else None
+            ks = ks_row
+            if expand is not None:
+                ks = jax.lax.dot_general(
+                    ks, expand, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            raw = raw * ks
+            s = jnp.where(valid, raw * scale, _NEG)
+            m_old = m_ref[:]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0,
+                                                  keepdims=True)
+            m_ref[:] = m_new
+            vs = vs_row
+            if expand is not None:
+                vs = jax.lax.dot_general(
+                    vs, expand, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            p = (p * vs).astype(jnp.bfloat16)
+            ar = jnp.swapaxes(alpha, 0, 1)                   # (Hp, 1)
+            alo_ref[:] = alo_ref[:] * ar + jax.lax.dot_general(
+                p, v_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (Hp, HDh)
+            ahi_ref[:] = ahi_ref[:] * ar + jax.lax.dot_general(
+                p, v_hi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(a == 0)
+        def _():
+            cos = cos_ref[0]
+            sin = sin_ref[0]
+
+            def rope(x):
+                return x * cos + pltpu.roll(x, half, 1) * sin
+
+            qkv_row = qkv_ref[0]
+            q = qkv_row[:, :H * D].reshape(H, D).astype(jnp.float32)
+            q_bf = rope(q).astype(jnp.bfloat16)
+            k = qkv_row[:, H * D:(H + n_kv) * D].reshape(
+                n_kv, D).astype(jnp.float32)
+            k_bf = rope(k).astype(jnp.bfloat16)
+            v_bf = qkv_row[:, (H + n_kv) * D:].reshape(
+                n_kv, D).astype(jnp.bfloat16)
+
+            # two half-width block-diagonal Q matrices, one per plane
+            def qbd(qh):                                     # (H, half)
+                qt = jnp.swapaxes(qh, 0, 1)                  # (half, H)
+                if Hp != H:
+                    qt = jnp.pad(qt, ((0, 0), (0, Hp - H)))
+                tiled = jnp.broadcast_to(
+                    qt[None], (n_kv, half, Hp)).reshape(HDh, Hp)
+                r_blk = jax.lax.broadcasted_iota(
+                    jnp.int32, (HDh, Hp), 0) // half
+                col_kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (HDh, Hp), 1) // kv_mul
+                return jnp.where(r_blk == col_kv, tiled, 0)
+
+            qlo_ref[:] = qbd(q_bf[:, :half])
+            qhi_ref[:] = qbd(q_bf[:, half:])
+            alo_ref[:] = jnp.zeros_like(alo_ref)
+            ahi_ref[:] = jnp.zeros_like(ahi_ref)
+            m_ref[:] = jnp.full_like(m_ref, _NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+            # quantize + pack the new row (parity with quantize_kv4)
+            kf = k_bf.astype(jnp.float32)
+            vf = v_bf.astype(jnp.float32)
+            ks_new = jnp.maximum(
+                jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 7.0, 1e-10)
+            vs_new = jnp.maximum(
+                jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 7.0, 1e-10)
+            kq = jnp.clip(jnp.round(kf / ks_new), -7, 7).astype(jnp.int32)
+            vq = jnp.clip(jnp.round(vf / vs_new), -7, 7).astype(jnp.int32)
+            k_lo, k_hi = kq[:, :half], kq[:, half:]
+            v_lo, v_hi = vq[:, :half], vq[:, half:]
+            kn_ref[0] = ((k_lo & 0xF) | (k_hi << 4)).astype(
+                jnp.int8).reshape(1, HDh)
+            vn_ref[0] = ((v_lo & 0xF) | (v_hi << 4)).astype(
+                jnp.int8).reshape(1, HDh)
+            ksn_ref[0] = jnp.swapaxes(ks_new, 0, 1)
+            vsn_ref[0] = jnp.swapaxes(vs_new, 0, 1)
+            online_update(
+                k_lo.astype(jnp.bfloat16).reshape(1, HDh),
+                k_hi.astype(jnp.bfloat16).reshape(1, HDh),
+                v_lo.astype(jnp.bfloat16).reshape(1, HDh),
+                v_hi.astype(jnp.bfloat16).reshape(1, HDh),
+                jnp.swapaxes(ks_new, 0, 1), jnp.swapaxes(vs_new, 0, 1),
+                jnp.full((1, Hp), True))
+
+        @pl.when(a * a_blk < pos_ref[b])
+        def _():
+            k_lo, k_hi = _unpack4(k_ref[0], jnp.bfloat16)  # (a_blk, HDh)
+            v_lo, v_hi = _unpack4(v_ref[0], jnp.bfloat16)
+            row = a * a_blk + jax.lax.broadcasted_iota(
+                jnp.int32, (a_blk, Hp), 0)
+            online_update(k_lo, k_hi, v_lo, v_hi, ks_ref[0], vs_ref[0],
+                          row < pos_ref[b])
+
+        @pl.when(a == n_blocks - 1)
+        def _():
+            def extract(acc_ref):
+                acc3 = acc_ref[:].reshape(Hp, n_kv, half)
+                kv_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, n_kv, 1), 1)
+                h_kv = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, n_kv, 1), 0) // kv_mul
+                return jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0),
+                               axis=1)                       # (Hp, half)
+
+            l_rows = jnp.swapaxes(l_ref[:], 0, 1)
+            out = jnp.concatenate([extract(alo_ref), extract(ahi_ref)],
+                                  axis=1) / l_rows           # (Hp, D)
+            o_ref[0] = out[:H]
+
+    return _kernel
+
+
 def supports(n_heads: int, n_kv: int, head_dim: int, attn_len: int) -> bool:
     return (head_dim % 128 == 0 and attn_len % 128 == 0
             and n_heads % n_kv == 0)
@@ -236,11 +408,11 @@ def supports(n_heads: int, n_kv: int, head_dim: int, attn_len: int) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "attn_len", "early_exit",
-                                    "interpret"))
+                                    "interpret", "kv_bits"))
 def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
                    k_scale=None, v_scale=None, *, n_heads: int,
                    attn_len: int | None = None, early_exit: bool = True,
-                   interpret: bool = False):
+                   interpret: bool = False, kv_bits: int = 8):
     """One decode attention step straight from the qkv projection row.
 
     qkv: (B, (H + 2*Hkv) * D) float — layout [q | k | v] exactly as the
@@ -257,17 +429,35 @@ def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
     k_s, v_s) where k_s/v_s are (B, Hkv) f32 scales (None unless
     quantized). The caller owns scattering k_new/v_new (+ scales) into
     the cache at row pos[b].
+
+    kv_bits=4: the caches are nibble-halves packed (B, A, Hkv, D//2)
+    int8 (models.llama.quantize_kv4) with k_scale/v_scale required;
+    k_new/v_new come back packed (B, Hkv, D//2).
     """
-    B, A, n_kv, D = k_cache.shape
     H = n_heads
+    quantized = k_scale is not None
+    kv4 = kv_bits == 4
+    if kv4:
+        assert quantized, "kv_bits=4 requires scales"
+        B, A, n_kv, Dh = k_cache.shape
+        D = Dh * 2
+    else:
+        B, A, n_kv, D = k_cache.shape
     HD = n_kv * D
     assert qkv.shape == (B, (H + 2 * n_kv) * D), (qkv.shape, H, n_kv, D)
-    quantized = k_scale is not None
     kv_dtype = k_cache.dtype
-    a_blk = _pick_blk(A, HD * k_cache.dtype.itemsize)
+    a_blk = _pick_blk(A, (HD // (2 if kv4 else 1))
+                      * k_cache.dtype.itemsize)
     n_blocks = -(-min(attn_len or A, A) // a_blk)
     Hp = max(-(-H // 128) * 128, 128)
     scale = 1.0 / float(np.sqrt(D))
+
+    if kv4:
+        return _attention_step_kv4(
+            qkv, k_cache, v_cache, pos, cos2, sinm, k_scale, v_scale,
+            H=H, Hp=Hp, n_kv=n_kv, D=D, A=A, a_blk=a_blk,
+            n_blocks=n_blocks, scale=scale, early_exit=early_exit,
+            interpret=interpret)
 
     kernel = _make_kernel(n_blocks, a_blk, H, Hp, n_kv, D, scale,
                           quantized, kv_dtype)
@@ -361,3 +551,94 @@ def attention_step(qkv, k_cache, v_cache, pos, cos2, sinm,
         return (outs[0], outs[1], outs[2],
                 outs[3].reshape(B, n_kv), outs[4].reshape(B, n_kv))
     return outs[0], outs[1], outs[2], None, None
+
+
+def _attention_step_kv4(qkv, k_cache, v_cache, pos, cos2, sinm,
+                        k_scale, v_scale, *, H, Hp, n_kv, D, A, a_blk,
+                        n_blocks, scale, early_exit, interpret):
+    """kv_bits=4 dispatch (see attention_step). Packed caches are
+    flattened to (B, A, Hkv * D/2) so every block is lane-complete
+    (a (…, 64)-lane int8 block would fight Mosaic's tiling)."""
+    B = qkv.shape[0]
+    half = D // 2
+    HDh = n_kv * half
+    kernel = _make_kernel_kv4(n_blocks, a_blk, H, Hp, n_kv, D, scale)
+
+    if early_exit:
+        def kv_map(b, a, p):
+            last = jnp.maximum(p[b] - 1, 0) // a_blk
+            return (b, jnp.minimum(a, last), 0)
+
+        def sc_map(b, a, p):
+            last = jnp.maximum(p[b] - 1, 0) // a_blk
+            return (b, jnp.minimum(a, last), 0)
+    else:
+        def kv_map(b, a, p):
+            return (b, a, 0)
+
+        def sc_map(b, a, p):
+            return (b, a, 0)
+
+    row = lambda b, a, p: (b, 0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1, qkv.shape[1]), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, HDh), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, HDh), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qkv[:, None], cos2.astype(jnp.float32)[:, None],
+            sinm.astype(jnp.float32)[:, None],
+            k_cache.reshape(B, A, HDh), v_cache.reshape(B, A, HDh),
+            k_scale, v_scale]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, HDh), jnp.int8),
+        jax.ShapeDtypeStruct((B, 1, HDh), jnp.int8),
+        jax.ShapeDtypeStruct((B, 1, n_kv), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, n_kv), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, H, D), lambda b, a, p: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
+    ]
+
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * (A + 1) * n_kv * D * Hp,
+        bytes_accessed=(2 * B * A * HDh
+                        + B * qkv.shape[1] * qkv.dtype.itemsize
+                        + B * H * D * 6),
+        transcendentals=B * Hp * (A + 1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((HDh, Hp), jnp.bfloat16),  # Q_bd lo plane
+            pltpu.VMEM((HDh, Hp), jnp.bfloat16),  # Q_bd hi plane
+            pltpu.VMEM((Hp, HDh), jnp.float32),   # acc lo
+            pltpu.VMEM((Hp, HDh), jnp.float32),   # acc hi
+            pltpu.VMEM((1, Hp), jnp.float32),     # running max
+            pltpu.VMEM((1, Hp), jnp.float32),     # running denom
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), *args)
+    return (outs[0], outs[1].reshape(B, n_kv, half),
+            outs[2].reshape(B, n_kv, half),
+            outs[3].reshape(B, n_kv), outs[4].reshape(B, n_kv))

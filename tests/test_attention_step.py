@@ -276,3 +276,125 @@ def test_auto_impl_dispatch(monkeypatch, thresh, expect):
     # sanity: the two impls actually differ numerically on this model,
     # so bitwise equality above really identifies the dispatched path
     assert not (ref == other).all()
+
+
+# --- kv_bits=4: nibble-halves packed cache (VERDICT r3 item 5) ---
+
+def _mk_kv4(B, A, H, n_kv, D, seed=0):
+    rng = np.random.default_rng(seed)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, (H + 2 * n_kv) * D)), jnp.bfloat16)
+    k4 = jnp.asarray(rng.integers(-128, 128, (B, A, n_kv, D // 2)),
+                     jnp.int8)
+    v4 = jnp.asarray(rng.integers(-128, 128, (B, A, n_kv, D // 2)),
+                     jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.05, 0.2, (B, A, n_kv)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.05, 0.2, (B, A, n_kv)), jnp.float32)
+    return qkv, k4, v4, ks, vs
+
+
+def _xla_reference_kv4(qkv, k4, v4, ks_c, vs_c, pos, H, n_kv, D,
+                       attn_len, row_override=None):
+    """forward()'s kv4 einsum branch, composed identically.
+
+    row_override=(kn, vn, ksn, vsn): scatter THESE current-token rows
+    (e.g. the kernel's own) instead of re-quantizing — isolates the
+    attention math from quantization round-half boundary flips (a 1-ulp
+    scale difference legitimately moves one code by a step, which then
+    shifts the output by scale * softmax weight)."""
+    from llama_cu_awq_tpu.models.llama import quantize_kv4
+
+    B = qkv.shape[0]
+    A = attn_len
+    qh, kh, vh = jnp.split(qkv[:, None, :], [H * D, (H + n_kv) * D],
+                           axis=-1)
+    qh = qh.reshape(B, 1, H, D)
+    kh = apply_rope(kh.reshape(B, 1, n_kv, D), pos[:, None], THETA)
+    vh = vh.reshape(B, 1, n_kv, D)
+    qh = apply_rope(qh, pos[:, None], THETA)
+    kq, ks = quantize_kv4(kh)
+    vq, vs = quantize_kv4(vh)
+    if row_override is not None:
+        kn, vn, ksn, vsn = row_override
+        kr, vr = kn[:, None], vn[:, None]
+        ksr, vsr = ksn[:, None], vsn[:, None]
+    else:
+        kr, vr, ksr, vsr = kq, vq, ks, vs
+    k_l = _update_cache(k4, kr, pos)
+    v_l = _update_cache(v4, vr, pos)
+    ks_l = _update_cache(ks_c, ksr, pos)
+    vs_l = _update_cache(vs_c, vsr, pos)
+    attn = _attention(qh, (k_l[:, :A], ks_l[:, :A]),
+                      (v_l[:, :A], vs_l[:, :A]), pos, jnp.bfloat16)
+    return attn.reshape(B, H, D), (kq, vq, ks, vs)
+
+
+@pytest.mark.parametrize("H,n_kv", [(4, 4), (8, 4)])
+def test_kv4_matches_einsum_path(H, n_kv):
+    B, A, D = 3, 256, 128
+    qkv, k4, v4, ks, vs = _mk_kv4(B, A, H, n_kv, D)
+    pos = jnp.asarray([0, 5, 255], jnp.int32)
+    cos2, sinm = rope_rows(pos, D, THETA)
+
+    attn, kn, vn, ksn, vsn = attention_step(
+        qkv, k4, v4, pos, cos2, sinm, ks, vs,
+        n_heads=H, attn_len=A, kv_bits=4, interpret=True)
+    ref, (kq_ref, vq_ref, ks_ref, vs_ref) = _xla_reference_kv4(
+        qkv, k4, v4, ks, vs, pos, H, n_kv, D, A,
+        row_override=(kn, vn, ksn, vsn))
+
+    # packed rows: the /7 scale division can differ by 1 f32 ulp
+    # between the kernel jaxpr and the XLA graph (constant-divisor
+    # strength reduction), flipping round-half boundaries -> allow
+    # +-1 per nibble PLANE, checked on the unpacked values
+    from llama_cu_awq_tpu.models.llama import _unpack_kv4
+
+    for got, want, s in ((kn, kq_ref[:, 0], ksn), (vn, vq_ref[:, 0],
+                                                   vsn)):
+        ones = jnp.ones(got.shape[:-1], jnp.float32)
+        glo, ghi = _unpack_kv4(got, ones, jnp.float32)
+        wlo, whi = _unpack_kv4(want, ones, jnp.float32)
+        assert np.abs(np.asarray(glo) - np.asarray(wlo)).max() <= 1
+        assert np.abs(np.asarray(ghi) - np.asarray(whi)).max() <= 1
+    np.testing.assert_allclose(np.asarray(ksn),
+                               np.asarray(ks_ref[:, 0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vsn),
+                               np.asarray(vs_ref[:, 0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_forward_fused_step_kv4(monkeypatch):
+    """forward() with the int4 KV cache: fused_step (now kv4-native)
+    vs the einsum split-dot path (kill switch LLAMA_TPU_FSTEP_KV4=0).
+    Multi-step so the kernel reads back nibble rows it packed."""
+    from llama_cu_awq_tpu.models import forward, init_kv_cache
+
+    cfg, params = _fwd_setup(seed=5)
+    B = 2
+    c1 = init_kv_cache(cfg, B, 128, quantized=True, kv_bits=4)
+    c2 = init_kv_cache(cfg, B, 128, quantized=True, kv_bits=4)
+    toks1 = toks2 = jnp.asarray([[7], [42]])
+    for step in range(4):
+        pos = jnp.full((B,), step, jnp.int32)
+        monkeypatch.setenv("LLAMA_TPU_FSTEP_KV4", "0")
+        l1, c1 = forward(params, cfg, toks1, pos, c1, attn_len=128,
+                         matmul_impl="dequant", attn_impl="einsum")
+        monkeypatch.setenv("LLAMA_TPU_FSTEP_KV4", "1")
+        l2, c2 = forward(params, cfg, toks2, pos, c2, attn_len=128,
+                         matmul_impl="dequant", attn_impl="fused_step")
+        toks1 = jnp.argmax(l1, axis=-1)[:, None]
+        toks2 = jnp.argmax(l2, axis=-1)[:, None]
+        a, b = np.asarray(l1), np.asarray(l2)
+        # int4 codes are coarse (scale = absmax/7): a single round-half
+        # boundary flip (1-ulp scale difference between the kernel
+        # jaxpr and the XLA graph) moves one v code by a step = up to
+        # ~14% of that vector's amplitude, so the kv4 tolerance is
+        # wider than int8's 3e-2 (slots with no flip match exactly)
+        assert np.abs(a - b).max() < 8e-2 * np.abs(a).max() + 3e-2, step
+        assert (np.asarray(toks1) == np.asarray(toks2)).all(), step
+    # layer-0 packed rows: same rope->bf16->quantize pipeline, codes
+    # within one rounding step of each other
+    dk = np.abs(np.asarray(c1.k[0], np.int32)
+                - np.asarray(c2.k[0], np.int32))
+    assert dk.max() <= 0x11  # +-1 per nibble (0x11 = 1 in each plane)

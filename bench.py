@@ -68,12 +68,12 @@ def main():
                          "into decode; LLAMA_TPU_SYNC_PREFILL=1 restores "
                          "the stalling synchronous prefill for A/B)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["auto", "einsum", "flash", "batched",
-                             "batched_static", "fused_step", "mono"],
-                    help="Pallas decode-attention kernel (flash: long-"
-                         "context blockwise; batched: serving shapes, "
-                         "int8-KV-native; fused_step: whole attention "
-                         "step in one kernel)")
+                    choices=["auto", "einsum", "batched",
+                             "batched_static", "fused_step"],
+                    help="Pallas decode-attention kernel (batched: "
+                         "serving shapes, int8-KV-native; fused_step: "
+                         "whole attention step in one kernel; auto "
+                         "picks fused_step at deep windows)")
     ap.add_argument("--lm-head-8bit", dest="lm_head_bits",
                     action="store_const", const=8,
                     help="per-row int8 lm_head")
@@ -81,9 +81,6 @@ def main():
                     default=None, choices=[8, 4],
                     help="quantize the lm_head (8: per-row int8, "
                          "4: w4-g128 via the int4 kernel)")
-    ap.add_argument("--chain", action="store_true",
-                    help="single-launch o-proj+FFN chain kernel "
-                         "(ops/pallas/int4_chain.py)")
     ap.add_argument("--spec", default=None, choices=["ngram", "none"],
                     help="greedy speculative decoding (prompt-lookup); "
                          "decode mode only; 'none' forces plain decode "
@@ -107,7 +104,7 @@ def main():
 
     dflt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_defaults.json")
-    if args.attn_impl is None and not args.chain and os.path.exists(dflt):
+    if args.attn_impl is None and os.path.exists(dflt):
         with open(dflt) as f:
             tuned = json.load(f)
         key = "batch" if args.mode == "batch" else "decode"
@@ -116,7 +113,7 @@ def main():
         # ring wins plain by ~3% but loses spec by ~3-5% — the verify
         # block amortizes weight reads and MSA overlap wins there), so
         # the two modes carry separate tuned profiles
-        if key == "decode" and args.spec == "none" \
+        if args.mode == "decode" and args.spec == "none" \
                 and "decode_plain" in tuned:
             key = "decode_plain"
         cfg_t = tuned.get(key, {})
@@ -125,7 +122,6 @@ def main():
         for k, v in (cfg_t.get("env") or {}).items():
             os.environ.setdefault(k, str(v))
         args.attn_impl = cfg_t.get("attn_impl")
-        args.chain = bool(cfg_t.get("chain"))
         # quantized-lm_head / chunk-size / compiler-flag defaults are
         # promoted by tools/pick_bench_defaults.py only when measured
         # faster AND (for the head) PPL-gated on the real model —
@@ -148,9 +144,6 @@ def main():
         log(f"tuned defaults ({key}) from bench_defaults.json: {cfg_t}")
     if args.spec == "none":
         args.spec = None
-
-    if args.chain:
-        os.environ["LLAMA_TPU_CHAIN"] = "1"
 
     import jax
 
@@ -226,7 +219,8 @@ def main():
         matmul_impl=impl, attn_impl=args.attn_impl,
         max_seq=max_seq, temperature=0.0, seed=1234,
         chunk_size=args.chunk_size, spec=args.spec,
-        spec_k=args.spec_k, mesh=mesh)
+        spec_k=args.spec_k, mesh=mesh,
+        kv_quant=(4 if args.kv_bits == 4 else args.kv_quant))
 
     prompt = list(range(5, 5 + args.prompt_len))
     if args.decode_steps:
@@ -272,6 +266,9 @@ def main():
         "metric": f"decode_tok_s_{args.config}_w4g128_b1"
                   + (f"_tp{args.tp}" if args.tp > 1 else "")
                   + (f"_lmh{args.lm_head_bits}" if args.lm_head_bits else "")
+                  + (f"_kv{args.kv_bits}" if (args.kv_quant
+                                              or args.kv_bits == 4)
+                     else "")
                   + (f"_spec{args.spec_k}" if args.spec else "")
                   + (f"_ctx{args.prompt_len}" if args.decode_steps
                      else ""),

@@ -54,13 +54,13 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(nibble-packed, quarter footprint; implies "
                          "--kv-quant)")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["auto", "einsum", "flash", "batched",
-                             "batched_static", "fused_step", "mono"],
-                    help="Pallas decode-attention kernel: flash (long-"
-                         "context blockwise), batched (serving "
-                         "shapes, int8-KV-native), or fused_step "
-                         "(whole attention step - qkv split, RoPE, KV "
-                         "quantize, attention - in one kernel)")
+                    choices=["auto", "einsum", "batched",
+                             "batched_static", "fused_step"],
+                    help="Pallas decode-attention kernel: batched "
+                         "(serving shapes, int8-KV-native) or "
+                         "fused_step (whole attention step - qkv "
+                         "split, RoPE, KV quantize, attention - in "
+                         "one kernel; auto picks it at deep windows)")
     ap.add_argument("--spec", default=None, choices=["ngram"],
                     help="speculative decoding: prompt-lookup n-gram "
                          "proposals verified in one teacher-forced "

@@ -150,12 +150,10 @@ _DEFAULT_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "12288"}
 def _impl_tuned(attn_impl: str | None) -> dict | None:
     """Per-impl compiler-option overrides for the engine step jits.
 
-    The scoped-vmem pool bounds BOTH XLA's weight staging and the Pallas
-    kernels' own block/scratch buffers: the mono-layer kernel's stack is
-    17.9 MB at 7B shapes, so the decode-tuned 12 MB limit makes its
-    compile fail outright (measured; PERFORMANCE.md round-2 notes)."""
-    if attn_impl == "mono":
-        return {"xla_tpu_scoped_vmem_limit_kib": 32768}
+    The scoped-vmem pool bounds BOTH XLA's weight staging and the
+    Pallas kernels' own block/scratch buffers (measured; PERFORMANCE.md
+    round-2 notes — the retired mono kernel's 17.9 MB stack failed to
+    compile under the decode-tuned 12 MB limit)."""
     return None
 
 

@@ -359,12 +359,10 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
     Head counts come from the operand shapes so the same code serves
     full and tensor-parallel (per-shard) views.
 
-    impl == "flash" routes decode steps (T == 1) to the blockwise Pallas
-    kernel (ops/pallas/decode_attention.py). Measured on v5e at 7B
-    (32 kv heads, buckets <= 512): the XLA einsum path is ~2% faster
-    end-to-end — its batched matvec beats the kernel's per-head small
-    dots — so einsum is the default; the kernel is the scaling path for
-    long windows where a materialized (H, A) score tensor would thrash.
+    (A per-head blockwise "flash" decode kernel lived here through
+    round 3 and was retired: measured dominated at every shape — einsum
+    wins <= 512-token windows, the fused_step kernel wins >= 1024;
+    PERFORMANCE.md round-4.)
     """
     B, T, H, D = q.shape
     # kv4: caches arrive as (codes, scales) tuples — nibble-halves
@@ -372,14 +370,6 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
     # per nibble plane, so each operand stays a fusable elementwise
     # unpack chain and no full bf16 window is ever materialized.
     kv4 = isinstance(k_cache, tuple)
-    if T == 1 and impl == "flash" and not kv4:
-        from llama_cu_awq_tpu.ops.linear import _on_tpu
-        from llama_cu_awq_tpu.ops.pallas import decode_attention as da
-
-        if da.supports(q.reshape(B, H, D), k_cache):
-            out = da.decode_attention(q.reshape(B, H, D), k_cache, v_cache,
-                                      pos, interpret=not _on_tpu())
-            return out.reshape(B, 1, H * D)
     if kv4:
         k_codes, k_s = k_cache
         A, n_kv = k_codes.shape[1], k_codes.shape[2]
@@ -425,7 +415,7 @@ def _attention(q, k_cache, v_cache, pos, act_dtype,
 
 
 def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
-                    act_dtype, chain=False):
+                    act_dtype):
     """o-proj + residual + FFN for one layer; returns (x, next rms ss).
 
     fused: o-proj + residual + next rms scale in one kernel, then
@@ -434,24 +424,7 @@ def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
     ffn_matvec_silu_kernel, gpu_kernels.h:213-275). Unfused: the same
     math as separate ops, with psum over the tp axis after the
     row-parallel o/down projections (llama2_q4.cu:323).
-    chain: run the whole fused chain as ONE Pallas launch
-    (ops/pallas/int4_chain.py) so the layer's o-proj+FFN weights
-    stream through a single uninterrupted DMA pipeline.
     """
-    if fused and chain and tp_axis is None:
-        from llama_cu_awq_tpu.ops.linear import _on_tpu
-        from llama_cu_awq_tpu.ops.pallas.int4_chain import (
-            ffn_chain, ffn_chain_supported)
-
-        m = 1
-        for s in attn.shape[:-1]:
-            m *= s
-        if ffn_chain_supported(layer.wo, layer.w_gate_up, layer.w_down,
-                               m):
-            return ffn_chain(attn, x, layer.ffn_norm, layer.wo,
-                             layer.w_gate_up, layer.w_down,
-                             eps=RMS_EPS, out_dtype=act_dtype,
-                             interpret=not _on_tpu())
     if fused and tp_axis:
         # tensor-parallel fused path: the row-parallel o/down kernels
         # emit PRE-psum partials (their prologues — rms-apply, SwiGLU —
@@ -512,7 +485,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             attn_impl: str | None = None,
             logits_all: bool = False, no_logits: bool = False,
             tp_axis: str | None = None, tp_size: int = 1,
-            fused: bool | None = None, chain: bool | None = None):
+            fused: bool | None = None):
     """Run the network over a token block.
 
     tokens: (B, T) int32; pos: (B,) absolute position of tokens[:, 0];
@@ -544,10 +517,6 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         fused = (bool(params.layers)
                  and isinstance(params.layers[0].wqkv, QTensorTPU)
                  and resolved_impl(matmul_impl) == "pallas")
-    if chain is None:  # opt-in single-launch o-proj+FFN chain kernel
-        import os
-
-        chain = os.environ.get("LLAMA_TPU_CHAIN", "0") == "1"
 
     x = params.embed[tokens].astype(act_dtype)  # (B, T, dim) gather
     positions = pos[:, None] + jnp.arange(T)[None, :]
@@ -569,13 +538,18 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # natively (attention_step kv_bits=4: split-plane dots, in-kernel
     # quantize+pack — so the capacity mode composes with the deep-window
     # kernel win instead of cancelling it, VERDICT r3 item 5);
-    # mono/batched still force the einsum path (dequant_kv4 split dots).
+    # batched still forces the einsum path (dequant_kv4 split dots).
     # LLAMA_TPU_FSTEP_KV4=0 is the kill switch back to einsum.
     kv4 = (cache.quantized and bool(cache.k)
            and cache.k[0].shape[-1] == cfg.head_dim // 2)
     kv4_fstep_ok = (not kv4
-                    or os.environ.get("LLAMA_TPU_FSTEP_KV4", "1") == "1")
-    # (fused_step/mono stay single-device for now: the kernels are
+                    or (os.environ.get("LLAMA_TPU_FSTEP_KV4", "1") == "1"
+                        # the kernel's lane-128 diagonal extraction
+                        # needs half-planes of 128 lanes, or head PAIRS
+                        # of 64-lane planes (attention_step kv4 notes)
+                        and ((cfg.head_dim // 2) % 128 == 0
+                             or (cfg.head_dim == 128 and KV % 2 == 0))))
+    # (fused_step stays single-device for now: the kernel is
     # head-parallel so a per-shard run should be valid, but no chip
     # measurement of the TP composition exists — einsum + the TP-fused
     # matmul path is the verified configuration under shard_map)
@@ -597,19 +571,11 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         thresh = int(os.environ.get("LLAMA_TPU_FSTEP_MIN_WINDOW", "1024"))
         attn_impl = ("fused_step"
                      if shapes_ok and fused and A >= thresh else None)
-    # attn_impl "mono": the ENTIRE decoder layer (attention + all four
-    # matmuls) as one Pallas launch (int4_chain.mono_layer); implies
-    # the fused_step + chain design, falls back to fused_step when the
-    # shapes/VMEM budget don't fit
-    mono = attn_impl == "mono" and shapes_ok and not kv4 and fused
-    if mono:
-        from llama_cu_awq_tpu.ops.pallas.int4_chain import mono_supported
-
-        mono = len(params.layers) > 0 and mono_supported(
-            params.layers[0].wo, params.layers[0].w_gate_up,
-            params.layers[0].w_down, B * T, cfg.head_dim, full_A0,
-            H, KV)
-    if attn_impl == "mono" and not mono:
+    # (the "mono" whole-layer launch and the o-proj+FFN "chain" kernel
+    # were retired in round 4: measured losing at every shape — 7B
+    # 168-170 vs 186, 13B 83.5/84.7 vs 89.5 — they live on in
+    # tools/experiments/int4_chain.py with their parity tests)
+    if attn_impl == "mono":
         attn_impl = "fused_step"
     fstep = (attn_impl == "fused_step" and shapes_ok)
     if attn_impl == "fused_step" and T == 1 and not fstep:
@@ -626,7 +592,7 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 f"cache len % 128 == 0 (got head_dim={cfg.head_dim}, "
                 f"cache len={full_A0}); falling back to the einsum path",
                 stacklevel=2)
-    if fstep or mono:
+    if fstep:
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.ops.pallas.attention_step import (
             attention_step, rope_rows)
@@ -641,8 +607,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # stay on einsum (the kernel doesn't speak the nibble packing, and
     # no chip measurement of the TP composition exists).
     pfk = (T > 1 and not kv4 and tp_axis is None
-           and attn_impl in (None, "flash", "fused_step", "batched",
-                             "batched_static", "mono")
+           and attn_impl in (None, "fused_step", "batched",
+                             "batched_static")
            and os.environ.get("LLAMA_TPU_PREFILL_ATTN",
                               "pallas") != "einsum")
     if pfk:
@@ -655,73 +621,16 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # lax.scan over stacked tensors would materialize a dynamic-slice of
     # every layer's weights each step — ~2x HBM traffic)
     new_k, new_v, new_ks, new_vs = [], [], [], []
-    n_layers = len(params.layers)
-    qkv_pre = None  # produced by the previous layer's 4-stage chain
-
-    def post(attn, x, ss, layer, nxt):
-        """Dispatch the inter-attention chain; returns (x, ss,
-        next-qkv-or-None). With chain enabled and a next layer whose
-        shapes fit, the 4-stage kernel also emits that layer's qkv
-        projection (ops/pallas/int4_chain.py stage 3)."""
-        if fused and chain and nxt is not None:
-            from llama_cu_awq_tpu.ops.linear import _on_tpu
-            from llama_cu_awq_tpu.ops.pallas.int4_chain import (
-                ffn_chain, ffn_chain_supported)
-
-            if ffn_chain_supported(layer.wo, layer.w_gate_up,
-                                   layer.w_down, B * T, nxt.wqkv):
-                return ffn_chain(
-                    attn, x, layer.ffn_norm, layer.wo,
-                    layer.w_gate_up, layer.w_down, eps=RMS_EPS,
-                    wqkv_next=nxt.wqkv, attn_norm_next=nxt.attn_norm,
-                    out_dtype=act_dtype, interpret=not _on_tpu())
-        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                matmul_impl, act_dtype, chain)
-        return x, ss, None
 
     for l, layer in enumerate(params.layers):
-        nxt = params.layers[l + 1] if l + 1 < n_layers else None
         # --- attention block ---
-        if qkv_pre is not None:
-            qkv, qkv_pre = qkv_pre, None
-        elif fused:
+        if fused:
             qkv, _ = qmatmul_fused(x, layer.wqkv, matmul_impl,
                                    prescale=(ss, layer.attn_norm),
                                    out_dtype=act_dtype)
         else:
             xb = rmsnorm(x, layer.attn_norm)
             qkv = qmatmul(xb, layer.wqkv, matmul_impl).astype(act_dtype)
-        if mono:
-            from llama_cu_awq_tpu.ops.pallas.int4_chain import (
-                mono_layer, mono_supported)
-
-            w_nxt = nxt.wqkv if (nxt is not None and mono_supported(
-                layer.wo, layer.w_gate_up, layer.w_down, B,
-                cfg.head_dim, full_A0, H, KV, nxt.wqkv)) else None
-            outs = mono_layer(
-                qkv[:, 0], x[:, 0], layer.ffn_norm, layer.wo,
-                layer.w_gate_up, layer.w_down, cache.k[l], cache.v[l],
-                pos, cos2, sinm,
-                cache.k_scale[l] if cache.quantized else None,
-                cache.v_scale[l] if cache.quantized else None,
-                n_heads=H, attn_len=A, eps=RMS_EPS,
-                wqkv_next=w_nxt,
-                attn_norm_next=nxt.attn_norm if w_nxt is not None
-                else None,
-                out_dtype=act_dtype, interpret=not _on_tpu())
-            x_out, ss2, kn, vn, ksn, vsn = outs[:6]
-            new_k.append(_update_cache(cache.k[l], kn[:, None], pos))
-            new_v.append(_update_cache(cache.v[l], vn[:, None], pos))
-            if cache.quantized:
-                new_ks.append(
-                    _update_cache(cache.k_scale[l], ksn[:, None], pos))
-                new_vs.append(
-                    _update_cache(cache.v_scale[l], vsn[:, None], pos))
-            x = x_out[:, None, :]
-            ss = ss2[:, None, :]
-            if w_nxt is not None:
-                qkv_pre = outs[6][:, None, :]
-            continue
         if fstep:
             attn_k, kn, vn, ksn, vsn = attention_step(
                 qkv[:, 0], cache.k[l], cache.v[l], pos, cos2, sinm,
@@ -737,7 +646,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 new_vs.append(
                     _update_cache(cache.v_scale[l], vsn[:, None], pos))
             attn = attn_k.reshape(B, 1, H * D).astype(act_dtype)
-            x, ss, qkv_pre = post(attn, x, ss, layer, nxt)
+            x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                    matmul_impl, act_dtype)
             continue
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
@@ -827,7 +737,8 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)
-        x, ss, qkv_pre = post(attn, x, ss, layer, nxt)
+        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                matmul_impl, act_dtype)
 
     if no_logits:
         # teacher-forced prompt step: only the cache matters (the

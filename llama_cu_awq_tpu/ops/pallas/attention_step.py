@@ -252,10 +252,15 @@ def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
                      n_kv: int, D: int, scale: float):
     """kv_bits=4 variant of _make_kernel (see its docstring): the cache
     arrives nibble-HALVES packed and FLATTENED to (B, A, n_kv * D/2)
-    int8 (lane-complete blocks), scores/AV run as split dots per nibble
-    plane against two half-width block-diagonal Q matrices, and the new
-    cache row is quantized + packed in-kernel (parity with
-    models.llama.quantize_kv4: scale absmax/7, clip to +-7)."""
+    int8 (lane-complete blocks); scores/AV run as split dots per nibble
+    plane against two half-width block-diagonal Q matrices. Unlike the
+    int8 variant, the CURRENT row's rope + quantize + pack runs in XLA
+    (the caller feeds the packed row + scales as 1-row inputs): packing
+    in-kernel needs a (n_kv, D/2) -> (1, n_kv*D/2) reshape, a lane-dim
+    shape cast Mosaic cannot lower ("infer-vector-layout: unsupported
+    shape cast", measured on v5e). The current row still enters the
+    flash recurrence through the IDENTICAL unpack path a future step's
+    cache read uses, so cross-step scores stay consistent."""
     kv_mul = H // n_kv
     half = D // 2
     HDh = n_kv * half
@@ -266,8 +271,8 @@ def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
         return jnp.where(kv_idx == col_kv, 1.0, 0.0)
 
     def _kernel(*refs):
-        (pos_ref, qkv_ref, cos_ref, sin_ref, k_ref, v_ref, ks_ref,
-         vs_ref, o_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
+        (pos_ref, qkv_ref, cos_ref, sin_ref, kn_ref, vn_ref, ksn_ref,
+         vsn_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
          qlo_ref, qhi_ref, alo_ref, ahi_ref, m_ref, l_ref) = refs
 
         b = pl.program_id(0)
@@ -322,13 +327,9 @@ def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
             qkv_row = qkv_ref[0]
             q = qkv_row[:, :H * D].reshape(H, D).astype(jnp.float32)
             q_bf = rope(q).astype(jnp.bfloat16)
-            k = qkv_row[:, H * D:(H + n_kv) * D].reshape(
-                n_kv, D).astype(jnp.float32)
-            k_bf = rope(k).astype(jnp.bfloat16)
-            v_bf = qkv_row[:, (H + n_kv) * D:].reshape(
-                n_kv, D).astype(jnp.bfloat16)
 
             # two half-width block-diagonal Q matrices, one per plane
+            # (the reshape below keeps the 128-lane dim — legal cast)
             def qbd(qh):                                     # (H, half)
                 qt = jnp.swapaxes(qh, 0, 1)                  # (half, H)
                 if Hp != H:
@@ -348,30 +349,14 @@ def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
             m_ref[:] = jnp.full_like(m_ref, _NEG)
             l_ref[:] = jnp.zeros_like(l_ref)
 
-            # quantize + pack the new row (parity with quantize_kv4)
-            kf = k_bf.astype(jnp.float32)
-            vf = v_bf.astype(jnp.float32)
-            ks_new = jnp.maximum(
-                jnp.max(jnp.abs(kf), axis=1, keepdims=True) / 7.0, 1e-10)
-            vs_new = jnp.maximum(
-                jnp.max(jnp.abs(vf), axis=1, keepdims=True) / 7.0, 1e-10)
-            kq = jnp.clip(jnp.round(kf / ks_new), -7, 7).astype(jnp.int32)
-            vq = jnp.clip(jnp.round(vf / vs_new), -7, 7).astype(jnp.int32)
-            k_lo, k_hi = kq[:, :half], kq[:, half:]
-            v_lo, v_hi = vq[:, :half], vq[:, half:]
-            kn_ref[0] = ((k_lo & 0xF) | (k_hi << 4)).astype(
-                jnp.int8).reshape(1, HDh)
-            vn_ref[0] = ((v_lo & 0xF) | (v_hi << 4)).astype(
-                jnp.int8).reshape(1, HDh)
-            ksn_ref[0] = jnp.swapaxes(ks_new, 0, 1)
-            vsn_ref[0] = jnp.swapaxes(vs_new, 0, 1)
-            online_update(
-                k_lo.astype(jnp.bfloat16).reshape(1, HDh),
-                k_hi.astype(jnp.bfloat16).reshape(1, HDh),
-                v_lo.astype(jnp.bfloat16).reshape(1, HDh),
-                v_hi.astype(jnp.bfloat16).reshape(1, HDh),
-                jnp.swapaxes(ks_new, 0, 1), jnp.swapaxes(vs_new, 0, 1),
-                jnp.full((1, Hp), True))
+            # current row: pre-packed by the caller; the unpack here is
+            # the same path a future step's cache read takes
+            k_lo, k_hi = _unpack4(kn_ref[0], jnp.bfloat16)  # (1, HDh)
+            v_lo, v_hi = _unpack4(vn_ref[0], jnp.bfloat16)
+            online_update(k_lo, k_hi, v_lo, v_hi,
+                          ksn_ref[0].astype(jnp.float32),
+                          vsn_ref[0].astype(jnp.float32),
+                          jnp.full((1, Hp), True))
 
         @pl.when(a * a_blk < pos_ref[b])
         def _():
@@ -384,19 +369,50 @@ def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
 
         @pl.when(a == n_blocks - 1)
         def _():
-            def extract(acc_ref):
-                acc3 = acc_ref[:].reshape(Hp, n_kv, half)
-                kv_idx = jax.lax.broadcasted_iota(
-                    jnp.int32, (Hp, n_kv, 1), 1)
-                h_kv = jax.lax.broadcasted_iota(
-                    jnp.int32, (Hp, n_kv, 1), 0) // kv_mul
-                return jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0),
-                               axis=1)                       # (Hp, half)
+            # Extract each row's kv-block diagonal. A direct reshape to
+            # (Hp, n_kv, half) drops the lane dim below 128 (half = 64
+            # at D=128) — the same Mosaic "unsupported shape cast" the
+            # pack hit — so view head PAIRS (two half-planes = 128
+            # lanes) and select the row's 64-lane half with a lane
+            # roll + mask instead.
+            if half % 128 == 0:
+                def extract(acc_ref):
+                    acc3 = acc_ref[:].reshape(Hp, n_kv, half)
+                    kv_idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (Hp, n_kv, 1), 1)
+                    h_kv = jax.lax.broadcasted_iota(
+                        jnp.int32, (Hp, n_kv, 1), 0) // kv_mul
+                    return jnp.sum(jnp.where(kv_idx == h_kv, acc3, 0.0),
+                                   axis=1)                   # (Hp, half)
 
+                lo, hi = extract(alo_ref), extract(ahi_ref)
+                l_rows = jnp.swapaxes(l_ref[:], 0, 1)
+                o_ref[0] = (jnp.concatenate([lo, hi], axis=1)
+                            / l_rows)[:H]
+                return
+            G = n_kv // 2
+
+            def extract128(acc_ref):
+                accv = acc_ref[:].reshape(Hp, G, 128)  # lane-preserving
+                g_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, G, 1), 1)
+                row_g = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Hp, G, 1), 0) // kv_mul) // 2
+                return jnp.sum(jnp.where(g_idx == row_g, accv, 0.0),
+                               axis=1)                 # (Hp, 128)
+
+            lo128 = extract128(alo_ref)   # row h: lo at (kv%2)*64
+            hi128 = extract128(ahi_ref)
+            row_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (Hp, 128), 0) // kv_mul
+            even = (row_kv % 2) == 0
+            # lo plane into lanes 0..63, hi plane into lanes 64..127
+            lo_sel = jnp.where(even, lo128, pltpu.roll(lo128, half, 1))
+            hi_sel = jnp.where(even, pltpu.roll(hi128, half, 1), hi128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, 128), 1)
+            out = jnp.where(lane < half, lo_sel, hi_sel)
             l_rows = jnp.swapaxes(l_ref[:], 0, 1)
-            out = jnp.concatenate([extract(alo_ref), extract(ahi_ref)],
-                                  axis=1) / l_rows           # (Hp, D)
-            o_ref[0] = out[:H]
+            o_ref[0] = (out / l_rows)[:H]
 
     return _kernel
 
@@ -558,11 +574,30 @@ def _attention_step_kv4(qkv, k_cache, v_cache, pos, cos2, sinm,
                         n_blocks, scale, early_exit, interpret):
     """kv_bits=4 dispatch (see attention_step). Packed caches are
     flattened to (B, A, Hkv * D/2) so every block is lane-complete
-    (a (…, 64)-lane int8 block would fight Mosaic's tiling)."""
+    (a (…, 64)-lane int8 block would fight Mosaic's tiling). The
+    current row's rope + int4 quantize + pack runs HERE in XLA (the
+    in-kernel pack needs a lane-dim shape cast Mosaic rejects) and
+    feeds the kernel as a 1-row packed block."""
+    from llama_cu_awq_tpu.models.llama import quantize_kv4
+
     B = qkv.shape[0]
     half = D // 2
     HDh = n_kv * half
     kernel = _make_kernel_kv4(n_blocks, a_blk, H, Hp, n_kv, D, scale)
+
+    # rope on k (lane-roll form, identical to the kernel's), bf16
+    # rounding, then quantize_kv4 — the same pipeline forward()'s
+    # einsum branch runs, so codes/scales match it exactly
+    kf = qkv[:, H * D:(H + n_kv) * D].reshape(
+        B, n_kv, D).astype(jnp.float32)
+    kf = kf * cos2[:, None, :] + jnp.roll(kf, half, -1) * sinm[:, None, :]
+    k_bf = kf.astype(jnp.bfloat16)
+    v_bf = qkv[:, (H + n_kv) * D:].reshape(
+        B, n_kv, D).astype(jnp.bfloat16)
+    kn, ksn = quantize_kv4(k_bf[:, None])      # (B, 1, n_kv, half/n_kv)
+    vn, vsn = quantize_kv4(v_bf[:, None])
+    kn2, vn2 = kn.reshape(B, 1, HDh), vn.reshape(B, 1, HDh)
+    ksn2, vsn2 = ksn.reshape(B, 1, n_kv), vsn.reshape(B, 1, n_kv)
 
     if early_exit:
         def kv_map(b, a, p):
@@ -584,6 +619,10 @@ def _attention_step_kv4(qkv, k_cache, v_cache, pos, cos2, sinm,
         pl.BlockSpec((1, 1, qkv.shape[1]), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_blk, HDh), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_blk, HDh), kv_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_blk, n_kv), sc_map, memory_space=pltpu.VMEM),
@@ -591,23 +630,14 @@ def _attention_step_kv4(qkv, k_cache, v_cache, pos, cos2, sinm,
     ]
     args = [qkv[:, None], cos2.astype(jnp.float32)[:, None],
             sinm.astype(jnp.float32)[:, None],
+            kn2, vn2, ksn2, vsn2,
             k_cache.reshape(B, A, HDh), v_cache.reshape(B, A, HDh),
             k_scale, v_scale]
 
-    out_shape = [
-        jax.ShapeDtypeStruct((B, H, D), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, HDh), jnp.int8),
-        jax.ShapeDtypeStruct((B, 1, HDh), jnp.int8),
-        jax.ShapeDtypeStruct((B, 1, n_kv), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, n_kv), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((B, H, D), jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, H, D), lambda b, a, p: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, HDh), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, n_kv), row, memory_space=pltpu.VMEM),
     ]
 
     cost = pl.CostEstimate(
@@ -639,6 +669,5 @@ def _attention_step_kv4(qkv, k_cache, v_cache, pos, cos2, sinm,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(pos.astype(jnp.int32), *args)
-    return (outs[0], outs[1].reshape(B, n_kv, half),
-            outs[2].reshape(B, n_kv, half),
-            outs[3].reshape(B, n_kv), outs[4].reshape(B, n_kv))
+    return (outs[0], kn.reshape(B, n_kv, half), vn.reshape(B, n_kv, half),
+            ksn.reshape(B, n_kv), vsn.reshape(B, n_kv))

@@ -18,17 +18,23 @@ Every dot is a dense MXU op at prefill shapes (Tm 128-512, D 128,
 a_blk 256+), unlike decode where the (1, D) rows starve the MXU — which
 is why the decode einsum default stays (PERFORMANCE.md round-2).
 
+Layout: Mosaic requires a block's last two dims to be (8k, 128k) or the
+full array dim, so a per-head (1, a_blk, 1, D) block over the
+(B, A, Hkv, D) cache is ILLEGAL (1 < Hkv on the sublane-adjacent axis).
+The caches are instead viewed as (B, A, Hkv*D) — a free reshape — and
+the kernel takes (a_blk, D) blocks whose last-axis block index IS the
+kv head (the row layout is [h0 d0..D-1 | h1 d0..D-1 | ...]). The
+per-(position, head) scales transpose to (B, Hkv, A, 1) (f32, ~KBs —
+the one real copy, negligible next to the window read).
+
 Causality: key s is visible to query row r (token t = r // kv_mul) iff
 s <= pos[b] + t. Per-slot early exit as in batched_attention.py: `pos`
 is scalar-prefetched and the KV block index map clamps at the last
 block any query of slot b can see — Mosaic elides the repeated-block
 DMA and pl.when skips the compute, so a short prompt in a long bucket
-pays only for its own window. Blocks entirely below the causal horizon
-skip the mask compare; the diagonal block applies the row/col compare.
-
-int8 KV plugs in natively (codes -> bf16 exact in-kernel; per-(pos,
-head) scales fold into the score matrix and the probability matrix),
-so quantized-cache prefill never materializes a dequantized window.
+pays only for its own window. int8 KV plugs in natively (codes -> bf16
+exact in-kernel; scales fold into the score/probability matrices), so
+quantized-cache prefill never materializes a dequantized window.
 """
 
 from __future__ import annotations
@@ -69,24 +75,22 @@ def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
             m_ref[:] = jnp.full_like(m_ref, _NEG)
             l_ref[:] = jnp.zeros_like(l_ref)
 
-        # last block any query row of this slot can see: the top row's
+        # last key any query row of this slot can see: the top row's
         # token index is (Tm-1)//kv_mul, horizon pos + that
         horizon = pos_ref[b] + (Tm - 1) // kv_mul
 
         @pl.when(a * a_blk <= horizon)
         def _():
             q_h = q_ref[0, 0]                                # (Tm, D) bf16
-            k_blk = k_ref[0][:, 0].astype(jnp.bfloat16)      # (a_blk, D)
-            v_blk = v_ref[0][:, 0].astype(jnp.bfloat16)
+            k_blk = k_ref[0].astype(jnp.bfloat16)            # (a_blk, D)
+            v_blk = v_ref[0].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q_h, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (Tm, a_blk)
             if quantized:
-                ks = ks_ref[0][:, :1].astype(jnp.float32)    # (a_blk, 1)
+                ks = ks_ref[0, 0].astype(jnp.float32)        # (a_blk, 1)
                 s = s * jnp.swapaxes(ks, 0, 1)               # cols scale
             s = s * scale
-            # causal mask; blocks fully below the earliest query's
-            # horizon (s_max <= pos, every row sees them) skip it
             row_t = jax.lax.broadcasted_iota(
                 jnp.int32, (Tm, a_blk), 0) // kv_mul
             col_s = a * a_blk + jax.lax.broadcasted_iota(
@@ -103,7 +107,7 @@ def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
                 p, axis=1, keepdims=True)
             m_ref[:, :1] = m_new
             if quantized:
-                vs = vs_ref[0][:, :1].astype(jnp.float32)    # (a_blk, 1)
+                vs = vs_ref[0, 0].astype(jnp.float32)        # (a_blk, 1)
                 p = p * jnp.swapaxes(vs, 0, 1)
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v_blk, (((1,), (0,)), ((), ())),
@@ -154,32 +158,42 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
     # (B, T, H, D) -> (B, n_kv, Tm, D) with row r = t * kv_mul + g
     qk = q.reshape(B, T, n_kv, kv_mul, D).transpose(0, 2, 1, 3, 4)
     qk = qk.reshape(B, n_kv, Tm, D).astype(jnp.bfloat16)
+    # caches: free reshape to (B, A, Hkv*D); head h = last-axis block h
+    kf = k.reshape(B, A, n_kv * D)
+    vf = v.reshape(B, A, n_kv * D)
 
     kernel = _make_kernel(n_blocks, a_blk, Tm, kv_mul, D, scale,
                           quantized)
 
+    def last_blk(p, b):
+        return (p[b] + (Tm - 1) // kv_mul) // a_blk
+
     def kv_map(b, h, a, p):
         # clamp at the last visible block -> repeated index elides DMA
-        last = (p[b] + (Tm - 1) // kv_mul) // a_blk
-        return (b, jnp.minimum(a, last), h, 0)
+        return (b, jnp.minimum(a, last_blk(p, b)), h)
 
     def sc_map(b, h, a, p):
-        last = (p[b] + (Tm - 1) // kv_mul) // a_blk
-        return (b, jnp.minimum(a, last), h)
+        return (b, h, jnp.minimum(a, last_blk(p, b)), 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, Tm, D), lambda b, h, a, p: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, 1, D), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, 1, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, D), kv_map, memory_space=pltpu.VMEM),
     ]
-    args = [qk, k, v]
+    args = [qk, kf, vf]
     if quantized:
+        # (B, A, Hkv) -> (B, Hkv, A, 1): trailing singleton keeps the
+        # block's last-two dims legal ((a_blk, 1): full last dim)
+        kst = k_scale.transpose(0, 2, 1)[..., None]
+        vst = v_scale.transpose(0, 2, 1)[..., None]
         in_specs += [
-            pl.BlockSpec((1, a_blk, 1), sc_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_blk, 1), sc_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, a_blk, 1), sc_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, a_blk, 1), sc_map,
+                         memory_space=pltpu.VMEM),
         ]
-        args += [k_scale, v_scale]
+        args += [kst, vst]
 
     cost = pl.CostEstimate(
         flops=2 * 2 * B * n_kv * Tm * D * A,

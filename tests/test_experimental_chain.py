@@ -1,5 +1,19 @@
-"""ffn_chain (single-launch wo+gate_up+down) vs the three-kernel
-composition it replaces (models/llama._post_attention fused path)."""
+"""Parity tests for the RETIRED experimental chain/mono kernels
+(tools/experiments/int4_chain.py — measured losing at every shape,
+PERFORMANCE.md round-4; kept with tests so the record stays honest).
+The forward()-integration tests were removed with the engine hooks."""
+
+import importlib.util
+import os as _os
+
+_spec = importlib.util.spec_from_file_location(
+    "int4_chain_experiment",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))),
+        "tools", "experiments", "int4_chain.py"))
+int4_chain = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(int4_chain)
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,9 +21,12 @@ import pytest
 
 from llama_cu_awq_tpu.ops.linear import qmatmul_fused
 from llama_cu_awq_tpu.ops.norms import RMS_EPS
-from llama_cu_awq_tpu.ops.pallas.int4_chain import (ffn_chain,
-                                                    ffn_chain_supported)
 from llama_cu_awq_tpu.quant.qtensor import QTensor, to_tpu_layout
+
+ffn_chain = int4_chain.ffn_chain
+ffn_chain_supported = int4_chain.ffn_chain_supported
+mono_layer = int4_chain.mono_layer
+mono_supported = int4_chain.mono_supported
 
 
 def make_qt(rng, n_in, n_out):
@@ -81,28 +98,6 @@ def test_chain_3d_lead_shape(rng):
     assert out.shape == (3, 1, dim) and ss.shape == (3, 1, 1)
 
 
-def test_forward_with_chain(rng):
-    """forward(chain=True) engages the chain kernel in the fused path
-    and matches chain=False logits."""
-    from llama_cu_awq_tpu.config import ModelConfig
-    from llama_cu_awq_tpu.models import (forward, init_kv_cache,
-                                         synthetic_params)
-
-    cfg = ModelConfig(dim=512, hidden_dim=1408, n_layers=2, n_heads=4,
-                      n_kv_heads=2, vocab_size=512, seq_len=64)
-    params = synthetic_params(cfg, seed=5, tpu_layout=True,
-                              param_dtype=jnp.float32)
-    tok = jnp.asarray([[7]])
-    pos = jnp.zeros(1, jnp.int32)
-    outs = []
-    for chain in (False, True):
-        cache = init_kv_cache(cfg, 1, 32)
-        lo, _ = forward(params, cfg, tok, pos, cache, attn_len=32,
-                        matmul_impl="pallas", chain=chain)
-        outs.append(np.asarray(lo))
-    a, b = outs
-    assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2
-
 
 @pytest.mark.parametrize("m", [1, 3])
 def test_chain4_qkv_stage(rng, m):
@@ -146,9 +141,7 @@ def test_chain4_qkv_stage(rng, m):
 def test_mono_layer_matches_two_kernel_path(rng, quantized, has_qkv):
     from llama_cu_awq_tpu.ops.pallas.attention_step import (attention_step,
                                                             rope_rows)
-    from llama_cu_awq_tpu.ops.pallas.int4_chain import (mono_layer,
-                                                        mono_supported)
-
+    
     B, A, H, n_kv, D = 2, 256, 4, 2, 128
     dim, hidden = H * D, 1024
     wo = make_qt(rng, dim, dim)
@@ -218,30 +211,3 @@ def test_mono_layer_matches_two_kernel_path(rng, quantized, has_qkv):
                                    rtol=4e-2, atol=4e-2)
 
 
-@pytest.mark.parametrize("quant", [False, True])
-def test_forward_with_mono(rng, quant):
-    """attn_impl='mono' (whole layer in one launch) vs the einsum path
-    over several consecutive decode steps."""
-    from llama_cu_awq_tpu.config import ModelConfig
-    from llama_cu_awq_tpu.models import (forward, init_kv_cache,
-                                         synthetic_params)
-
-    cfg = ModelConfig(dim=512, hidden_dim=1024, n_layers=3, n_heads=4,
-                      n_kv_heads=2, vocab_size=512, seq_len=256)
-    params = synthetic_params(cfg, seed=9, tpu_layout=True,
-                              param_dtype=jnp.float32)
-    B = 2
-    c1 = init_kv_cache(cfg, B, 128, quantized=quant)
-    c2 = init_kv_cache(cfg, B, 128, quantized=quant)
-    t1 = t2 = jnp.asarray([[7], [42]])
-    for step in range(3):
-        pos = jnp.full((B,), step, jnp.int32)
-        l1, c1 = forward(params, cfg, t1, pos, c1, attn_len=128,
-                         matmul_impl="pallas")
-        l2, c2 = forward(params, cfg, t2, pos, c2, attn_len=128,
-                         matmul_impl="pallas", attn_impl="mono")
-        a, b = np.asarray(l1), np.asarray(l2)
-        assert np.abs(a - b).max() < 3e-2 * np.abs(a).max() + 3e-2, step
-        t1 = jnp.argmax(l1, axis=-1)[:, None]
-        t2 = jnp.argmax(l2, axis=-1)[:, None]
-        assert (np.asarray(t1) == np.asarray(t2)).all(), step

@@ -91,7 +91,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kv-quant", action="store_true")
     ap.add_argument("--attn-impl", default=None,
-                    choices=["flash", "batched"])
+                    choices=["batched", "fused_step"])
     ap.add_argument("--nprocs", type=int, default=1,
                     help="multi-host: process count (one per host)")
     ap.add_argument("--pid", type=int, default=0)

@@ -1,5 +1,6 @@
 #!/bin/bash
-# Follow-up chip queue: re-gate parity after kernel fixes (mono's
+# Follow-up chip queue: re-gate parity after kernel fixes (the retired
+# mono's
 # dynamic-sublane bf16 loads, attention_step's B>1 block specs) and
 # re-measure the variants the first pass excluded. Run AFTER
 # tools/chip_session.sh completes — never concurrently (one chip).
@@ -21,7 +22,6 @@ run() {
 }
 
 run parity python -u tools/chip_parity.py $LOG
-run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
 # first chip run crashed on the decode-tuned scoped-vmem limit; the
@@ -49,12 +49,8 @@ run mb_attn_b1 python -u tools/microbench_attn.py --batch 1
 run mb_attn_b1_w256 python -u tools/microbench_attn.py --batch 1 \
     --window 256
 
-# Where does the remaining 1.2 ms of batch-1 exposure live? Fresh
-# XProf traces of the einsum base vs the (slower) chain kernel — the
-# comparison localizes what the chain serializes that XLA overlaps.
+# Where does the remaining 1.2 ms of batch-1 exposure live?
 run profile_base python -u bench.py --repeats 2 --profile $LOG/trace_base
-run profile_chain python -u bench.py --repeats 2 --chain \
-    --profile $LOG/trace_chain
 
 # Finer scoped-VMEM staging sweep around the round-1 optimum (12 MB
 # beat 6 and 64; the curve between 8 and 16 was never sampled).
@@ -67,18 +63,10 @@ for kib in 8192 10240 14336 16384; do
 done
 
 # Scoped-vmem x fused-kernel cross: on TPU the scoped pool ALSO bounds
-# Pallas kernel-internal VMEM (blocks + multiple-buffering). The big
-# fused kernels (chain / mono / fused_step) may have had their DMA
-# pipelines squeezed by the decode-tuned 12 MB limit — which would
-# explain why they all lose end-to-end while the plain int4 kernels
-# (~6-8 MB working set) run at SoL.
+# Pallas kernel-internal VMEM (blocks + multiple-buffering); measured
+# round-2, uniformly negative (PERFORMANCE.md). mono/chain rows retired
+# with their kernels (tools/experiments/int4_chain.py).
 for kib in 32768 65536; do
-    run chain_vmem_$kib env \
-        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
-        python -u bench.py --chain --repeats 3
-    run mono_vmem_$kib env \
-        LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
-        python -u bench.py --attn-impl mono --repeats 3
     run fstep_vmem_$kib env \
         LLAMA_TPU_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=$kib \
         python -u bench.py --attn-impl fused_step --repeats 3

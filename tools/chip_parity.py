@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """On-chip numeric parity gate for the kernel-variant A/B matrix.
 
-The new kernels (fused_step / chain / mono / batched*) are validated in
+The kernel variants (fused_step / batched*) are validated in
 interpret mode on CPU by the test suite, but interpret mode is not the
 Mosaic compiler: a variant could compile on the chip and compute
 garbage while benchmarking fast. This script runs every variant that
@@ -66,21 +66,20 @@ def main():
     params = synthetic_params(cfg, seed=7, tpu_layout=True)
     log(f"platform: {jax.devices()[0].platform}")
 
-    def step_fn(attn_impl, chain):
+    def step_fn(attn_impl):
         @jax.jit
         def _step(params, tok, pos, cache):
             return forward(params, cfg, tok, pos, cache, attn_len=A,
                            act_dtype=jnp.bfloat16, matmul_impl="pallas",
-                           attn_impl=attn_impl, chain=chain)
+                           attn_impl=attn_impl)
         return _step
 
+    # (chain / chain_fstep / mono rows retired in round 4 with their
+    # kernels — tools/experiments/int4_chain.py)
     DECODE = {
         "base": (None, False),
         "batched": ("batched", False),
         "fused_step": ("fused_step", False),
-        "chain": (None, True),
-        "chain_fstep": ("fused_step", True),
-        "mono": ("mono", False),
     }
     BATCH = {
         "base": (None, False),
@@ -93,7 +92,8 @@ def main():
 
     # ---- decode gate: B=1, 48 steps, teacher-forced on base's stream --
     def run_decode(impl, chain, stream):
-        step = step_fn(impl, chain)
+        del chain
+        step = step_fn(impl)
         cache = init_kv_cache(cfg, 1, A)
         logits_all, toks = [], []
         tok = jnp.asarray([[1]], jnp.int32)
@@ -153,7 +153,8 @@ def main():
             for _ in range(cfg.n_layers)])
 
     def run_batch(impl, chain):
-        lo, c2 = step_fn(impl, chain)(params, tok, pos, cache)
+        del chain
+        lo, c2 = step_fn(impl)(params, tok, pos, cache)
         return (np.asarray(lo, np.float32),
                 np.asarray(c2.k[0], np.int8),
                 np.asarray(c2.k_scale[0], np.float32))

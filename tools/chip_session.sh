@@ -36,16 +36,12 @@ run parity python -u tools/chip_parity.py $LOG
 
 # 1. batch-1 A/B matrix (VERDICT item 2) — decides the tuned default.
 # Order: proven base first (anchor; warm compile cache from round 1),
-# then variants by expected win (mono removes the most boundaries).
+# then variants by expected win.
 # The picker runs after each item so a partial session still tunes.
 run bench_b1_base python -u bench.py --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
-run bench_b1_mono python -u bench.py --attn-impl mono --repeats 4
-run bench_b1_chain_fstep python -u bench.py --chain \
-    --attn-impl fused_step --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 run bench_b1_fstep python -u bench.py --attn-impl fused_step --repeats 4
-run bench_b1_chain python -u bench.py --chain --repeats 4
 run bench_b1_batched python -u bench.py --attn-impl batched --repeats 4
 python -u tools/pick_bench_defaults.py $LOG | tee -a $LOG/session.log
 
@@ -89,8 +85,6 @@ run bench_2k python -u bench.py --max-seq 2048 --prompt-len 1664 \
     --decode-steps 256 --repeats 3
 run bench_2k_fstep python -u bench.py --max-seq 2048 --prompt-len 1664 \
     --decode-steps 256 --repeats 3 --attn-impl fused_step
-run bench_2k_mono python -u bench.py --max-seq 2048 --prompt-len 1664 \
-    --decode-steps 256 --repeats 3 --attn-impl mono
 run bench_2k_flash python -u bench.py --max-seq 2048 --prompt-len 1664 \
     --decode-steps 256 --repeats 3 --attn-impl flash
 run bench_4k python -u bench.py --max-seq 4096 --prompt-len 3712 \
@@ -101,7 +95,5 @@ run bench_4k_base python -u bench.py --max-seq 4096 --prompt-len 3712 \
 # 5. 13B: tiling sweep then bench (best decode config + base)
 run sweep_13b python -u tools/sweep_int4.py --config 13b
 run bench_13b python -u bench.py --config 13b --repeats 4
-run bench_13b_mono python -u bench.py --config 13b --attn-impl mono \
-    --repeats 4
 
 echo "=== chip session complete $(date) ===" | tee -a $LOG/session.log

@@ -27,10 +27,6 @@ DECODE = {
     "bench_b1_base": ({}, "base"),
     "bench_b1_batched": ({"attn_impl": "batched"}, "batched"),
     "bench_b1_fstep": ({"attn_impl": "fused_step"}, "fused_step"),
-    "bench_b1_chain": ({"chain": True}, "chain"),
-    "bench_b1_chain_fstep": ({"attn_impl": "fused_step", "chain": True},
-                             "chain_fstep"),
-    "bench_b1_mono": ({"attn_impl": "mono"}, "mono"),
 }
 BATCH = {
     "bench_batch_base": ({}, "base"),

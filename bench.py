@@ -90,6 +90,18 @@ def main():
                     help="override the JAX platform (e.g. cpu for a "
                          "plumbing smoke; the axon sitecustomize forces "
                          "JAX_PLATFORMS, so only jax.config works)")
+    ap.add_argument("--model", default=None, metavar="BIN",
+                    help="benchmark a REAL packed checkpoint instead "
+                         "of synthetic weights (config from its "
+                         "header; --config is ignored) — the honest-"
+                         "acceptance path for speculative numbers")
+    ap.add_argument("-z", "--tokenizer", default=None,
+                    help="tokenizer.bin (with --model + --prompt-file: "
+                         "prompts are real text, so spec acceptance "
+                         "reflects real prose, not synthetic cycles)")
+    ap.add_argument("--prompt-file", default=None, metavar="TXT",
+                    help="batch mode: one prompt per line, tokenized "
+                         "with -z and cycled over --requests")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel over N chips (mesh + shard_map; "
                          "needs N devices — the multi-chip benchmark "
@@ -188,6 +200,29 @@ def main():
     max_seq = args.max_seq or min(512, cfg.seq_len)
     if args.chunk_size is None:
         args.chunk_size = 16 if args.mode == "batch" else 128
+
+    if args.model:
+        from llama_cu_awq_tpu.io.checkpoint import load_checkpoint
+        from llama_cu_awq_tpu.models import params_from_checkpoint
+
+        log(f"loading real checkpoint {args.model}...")
+        ckpt = load_checkpoint(args.model)
+        cfg = ckpt.config
+        args.config = "real"
+        max_seq = args.max_seq or min(512, cfg.seq_len)
+        params = params_from_checkpoint(ckpt, tpu_layout=on_tpu)
+        if args.lm_head_bits:
+            from llama_cu_awq_tpu.models import quantize_lm_head
+
+            params = quantize_lm_head(params, bits=args.lm_head_bits)
+        impl = "pallas" if on_tpu else "dequant"
+        mesh = None
+        if args.mode == "batch":
+            return bench_batch(args, cfg, params, max_seq, impl, mesh)
+        if args.mode == "prefill":
+            return bench_prefill(args, cfg, params, max_seq, impl, mesh)
+        raise SystemExit("--model supports --mode batch/prefill only "
+                         "(decode mode times synthetic shapes)")
 
     log(f"building synthetic {args.config} params "
         f"(tpu_layout={on_tpu}, tp={args.tp})...")
@@ -313,7 +348,14 @@ def bench_prefill(args, cfg, params, max_seq, impl, mesh=None):
     one_run()
     best = None
     for i in range(args.repeats):
-        dt = one_run()
+        if i == 0 and args.profile:
+            from llama_cu_awq_tpu.utils import profile_trace
+
+            with profile_trace(args.profile):
+                dt = one_run()
+            log(f"profiler trace written to {args.profile}")
+        else:
+            dt = one_run()
         log(f"run {i}: {n} prompt tokens in {dt*1e3:.1f}ms -> "
             f"{n/dt:.0f} tok/s prefill")
         best = dt if best is None else min(best, dt)
@@ -341,10 +383,23 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
     from llama_cu_awq_tpu.engine.batch import BatchEngine
     from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
 
-    longest = max(args.prompt_len, args.admit_long)
-    steps = min(args.steps, max_seq - 2 - longest)
-    prompts = [[BOS_TOKEN] + [5 + (i + j) % 500 for j in range(
-        args.prompt_len - 1)] for i in range(args.requests)]
+    if args.prompt_file:
+        from llama_cu_awq_tpu.tokenizer import Tokenizer
+
+        assert args.tokenizer, "--prompt-file needs -z tokenizer.bin"
+        tk = Tokenizer(args.tokenizer, cfg.vocab_size)
+        lines = [ln.strip() for ln in open(args.prompt_file)
+                 if ln.strip()]
+        texts = [lines[i % len(lines)] for i in range(args.requests)]
+        prompts = [tk.encode(t, bos=True, eos=False)[:max_seq // 2]
+                   for t in texts]
+        longest = max(len(p) for p in prompts)
+        steps = min(args.steps, max_seq - 2 - longest)
+    else:
+        longest = max(args.prompt_len, args.admit_long)
+        steps = min(args.steps, max_seq - 2 - longest)
+        prompts = [[BOS_TOKEN] + [5 + (i + j) % 500 for j in range(
+            args.prompt_len - 1)] for i in range(args.requests)]
     if args.admit_long:
         # every 4th request arrives with a LONG prompt: its block
         # prefill interleaves with (or, with LLAMA_TPU_SYNC_PREFILL=1,
@@ -387,6 +442,14 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
         log(f"run {i}: {args.requests} requests, {total} tokens in "
             f"{dt:.2f}s -> {tok_s:.1f} tok/s aggregate")
         best = max(best, tok_s)
+    if args.spec:
+        ss = eng.spec_stats
+        if ss.get("proposed"):
+            log(f"spec acceptance: {ss['accepted']}/{ss['proposed']} "
+                f"({ss['accepted']/ss['proposed']:.1%}) over "
+                f"{ss['blocks']} blocks"
+                + (" [REAL prose]" if args.prompt_file else
+                   " [synthetic]"))
     print(json.dumps({
         "metric": f"batch_tok_s_{args.config}_w4g128_s{args.slots}"
                   f"_r{args.requests}"
@@ -397,7 +460,10 @@ def bench_batch(args, cfg, params, max_seq, impl, mesh=None):
                   + (f"_admL{args.admit_long}" if args.admit_long else ""),
         "value": round(best, 1),
         "unit": "tok/s",
-        "vs_baseline": round(best / BASELINE_TOK_S, 4),
+        # a real (non-7B) checkpoint is not comparable to the
+        # reference's 7B decode headline
+        "vs_baseline": (None if args.model
+                        else round(best / BASELINE_TOK_S, 4)),
     }))
 
 

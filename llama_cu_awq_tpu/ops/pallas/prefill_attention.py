@@ -5,36 +5,38 @@ prefill (the reference has no prefill at all — prompts feed token by
 token, llama2_q4.cu:462-479; this is a TPU-first axis) previously ran
 the einsum path in models/llama.py:_attention, which materializes a
 per-layer (B, T, Hkv, kv_mul, A) f32 score tensor — 528 MB at
-T=2016/A=2048 — and staged the full window through HBM twice. XProf
-put prefill at 59% of MXU peak with attention the gap.
+T=2016/A=2048 — and staged the full window through HBM twice.
 
 This kernel runs the standard flash/online-softmax recurrence over the
-KV cache window, one (batch, kv-head) pair per grid row:
+KV cache window. Heads are processed in GROUPS of G per grid step
+(G = 8, or all of Hkv when it isn't 8-divisible):
 
-  scores (Tm, a_blk) = Q_h (Tm, D) @ K_blk^T        Tm = T * kv_mul
-  online softmax per query row, acc (Tm, D) += P @ V_blk
+  for each g in the group:
+    scores (Tm, a_blk) = Q_g (Tm, D) @ K_blk[:, g]^T    Tm = T * kv_mul
+    online softmax per query row, acc_g (Tm, D) += P @ V_blk[:, g]
 
 Every dot is a dense MXU op at prefill shapes (Tm 128-512, D 128,
 a_blk 256+), unlike decode where the (1, D) rows starve the MXU — which
 is why the decode einsum default stays (PERFORMANCE.md round-2).
 
-Layout: Mosaic requires a block's last two dims to be (8k, 128k) or the
-full array dim, so a per-head (1, a_blk, 1, D) block over the
-(B, A, Hkv, D) cache is ILLEGAL (1 < Hkv on the sublane-adjacent axis).
-The caches are instead viewed as (B, A, Hkv*D) — a free reshape — and
-the kernel takes (a_blk, D) blocks whose last-axis block index IS the
-kv head (the row layout is [h0 d0..D-1 | h1 d0..D-1 | ...]). The
-per-(position, head) scales transpose to (B, Hkv, A, 1) (f32, ~KBs —
-the one real copy, negligible next to the window read).
+Why head GROUPS: two constraints kill the simpler layouts. A per-head
+(1, a_blk, 1, D) block violates Mosaic's last-two-dims rule (1 < Hkv,
+not 8-divisible); flattening the cache to (B, A, Hkv*D) and taking
+(a_blk, D) column blocks is legal but reads the window in D*2 = 256-
+byte strided rows — DMA granularity that measured ~2% SLOWER than the
+einsum path end-to-end (v5e, 2016 tokens). A (1, a_blk, G, D) block
+with G = 8 is legal ((G, D) last-two dims) and reads 8 heads' rows
+contiguously — 2 KB chunks — while the in-kernel head loop reuses the
+staged block G times.
 
 Causality: key s is visible to query row r (token t = r // kv_mul) iff
 s <= pos[b] + t. Per-slot early exit as in batched_attention.py: `pos`
 is scalar-prefetched and the KV block index map clamps at the last
-block any query of slot b can see — Mosaic elides the repeated-block
-DMA and pl.when skips the compute, so a short prompt in a long bucket
-pays only for its own window. int8 KV plugs in natively (codes -> bf16
-exact in-kernel; scales fold into the score/probability matrices), so
-quantized-cache prefill never materializes a dequantized window.
+block any query of slot b can see. int8 KV plugs in natively (codes ->
+bf16 exact in-kernel; per-(position, head) scales — transposed to
+(B, Hkv, A, 1) so their blocks stay legal — fold into the score and
+probability matrices), so quantized-cache prefill never materializes
+a dequantized window.
 """
 
 from __future__ import annotations
@@ -47,12 +49,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLK_TARGET_BYTES = 1 << 20
 _NEG = -1e30
 
 
-def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
-                 scale: float, quantized: bool):
+def _make_kernel(n_blocks: int, a_blk: int, G: int, Tm: int,
+                 kv_mul: int, D: int, scale: float, quantized: bool):
     def _kernel(*refs):
         it = iter(refs)
         pos_ref = next(it)
@@ -62,9 +63,9 @@ def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
         ks_ref = next(it) if quantized else None
         vs_ref = next(it) if quantized else None
         o_ref = next(it)
-        acc_ref = next(it)   # (Tm, D) f32
-        m_ref = next(it)     # (Tm, 128) f32 running max
-        l_ref = next(it)     # (Tm, 128) f32 running denom
+        acc_ref = next(it)   # (G * Tm, D) f32
+        m_ref = next(it)     # (G * Tm, 128) f32 running max
+        l_ref = next(it)     # (G * Tm, 128) f32 running denom
 
         b = pl.program_id(0)
         a = pl.program_id(2)
@@ -81,53 +82,58 @@ def _make_kernel(n_blocks: int, a_blk: int, Tm: int, kv_mul: int, D: int,
 
         @pl.when(a * a_blk <= horizon)
         def _():
-            q_h = q_ref[0, 0]                                # (Tm, D) bf16
-            k_blk = k_ref[0].astype(jnp.bfloat16)            # (a_blk, D)
-            v_blk = v_ref[0].astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q_h, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (Tm, a_blk)
-            if quantized:
-                ks = ks_ref[0, 0].astype(jnp.float32)        # (a_blk, 1)
-                s = s * jnp.swapaxes(ks, 0, 1)               # cols scale
-            s = s * scale
             row_t = jax.lax.broadcasted_iota(
                 jnp.int32, (Tm, a_blk), 0) // kv_mul
             col_s = a * a_blk + jax.lax.broadcasted_iota(
                 jnp.int32, (Tm, a_blk), 1)
             valid = col_s <= pos_ref[b] + row_t
-            s = jnp.where(valid, s, _NEG)
-            m_old = m_ref[:, :1]                             # (Tm, 1)
-            m_new = jnp.maximum(m_old,
-                                jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)                   # (Tm, 1)
-            p = jnp.exp(s - m_new)                           # (Tm, a_blk)
-            p = jnp.where(valid, p, 0.0)
-            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(
-                p, axis=1, keepdims=True)
-            m_ref[:, :1] = m_new
-            if quantized:
-                vs = vs_ref[0, 0].astype(jnp.float32)        # (a_blk, 1)
-                p = p * jnp.swapaxes(vs, 0, 1)
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v_blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (Tm, D)
-            acc_ref[:] = acc_ref[:] * alpha + pv
+            for g in range(G):
+                rows = slice(g * Tm, (g + 1) * Tm)
+                q_h = q_ref[0, g]                            # (Tm, D)
+                k_blk = k_ref[0][:, g].astype(jnp.bfloat16)  # (a_blk, D)
+                v_blk = v_ref[0][:, g].astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    q_h, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Tm, a_blk)
+                if quantized:
+                    ks = ks_ref[0, g].astype(jnp.float32)    # (a_blk, 1)
+                    s = s * jnp.swapaxes(ks, 0, 1)
+                s = jnp.where(valid, s * scale, _NEG)
+                m_old = m_ref[rows, :1]                      # (Tm, 1)
+                m_new = jnp.maximum(
+                    m_old, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)               # (Tm, 1)
+                p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+                l_ref[rows, :1] = l_ref[rows, :1] * alpha + jnp.sum(
+                    p, axis=1, keepdims=True)
+                m_ref[rows, :1] = m_new
+                if quantized:
+                    vs = vs_ref[0, g].astype(jnp.float32)    # (a_blk, 1)
+                    p = p * jnp.swapaxes(vs, 0, 1)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v_blk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Tm, D)
+                acc_ref[rows] = acc_ref[rows] * alpha + pv
 
         @pl.when(a == n_blocks - 1)
         def _():
-            o_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+            for g in range(G):
+                rows = slice(g * Tm, (g + 1) * Tm)
+                o_ref[0, g] = acc_ref[rows] / l_ref[rows, :1]
 
     return _kernel
 
 
 def supports(T: int, H: int, D: int, A: int, n_kv: int) -> bool:
     """Shapes the kernel handles: lane-complete heads, a 128-granular
-    window, sublane-complete (T * kv_mul) query rows."""
+    window, sublane-complete (T * kv_mul) query rows, and a VMEM-
+    bounded per-group accumulator."""
     if H % n_kv or D % 128 or A % 128:
         return False
     Tm = T * (H // n_kv)
-    return Tm % 8 == 0 and Tm * D * 4 <= (8 << 20)
+    G = 8 if n_kv % 8 == 0 else n_kv
+    return Tm % 8 == 0 and G * Tm * D * 4 <= (8 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "attn_len"))
@@ -145,11 +151,14 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
     A, n_kv = k.shape[1], k.shape[2]
     kv_mul = H // n_kv
     Tm = T * kv_mul
+    G = 8 if n_kv % 8 == 0 else n_kv
+    n_groups = n_kv // G
     quantized = k_scale is not None
+    # block budget: (a_blk, G, D) KV blocks, double-buffered
     a_blk = 128
     for cand in (512, 256):
-        if A % cand == 0 and cand * D * k.dtype.itemsize \
-                <= _BLK_TARGET_BYTES:
+        if A % cand == 0 and cand * G * D * k.dtype.itemsize \
+                <= (2 << 20):
             a_blk = cand
             break
     n_blocks = -(-min(attn_len or A, A) // a_blk)
@@ -158,11 +167,8 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
     # (B, T, H, D) -> (B, n_kv, Tm, D) with row r = t * kv_mul + g
     qk = q.reshape(B, T, n_kv, kv_mul, D).transpose(0, 2, 1, 3, 4)
     qk = qk.reshape(B, n_kv, Tm, D).astype(jnp.bfloat16)
-    # caches: free reshape to (B, A, Hkv*D); head h = last-axis block h
-    kf = k.reshape(B, A, n_kv * D)
-    vf = v.reshape(B, A, n_kv * D)
 
-    kernel = _make_kernel(n_blocks, a_blk, Tm, kv_mul, D, scale,
+    kernel = _make_kernel(n_blocks, a_blk, G, Tm, kv_mul, D, scale,
                           quantized)
 
     def last_blk(p, b):
@@ -170,27 +176,27 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
 
     def kv_map(b, h, a, p):
         # clamp at the last visible block -> repeated index elides DMA
-        return (b, jnp.minimum(a, last_blk(p, b)), h)
+        return (b, jnp.minimum(a, last_blk(p, b)), h, 0)
 
     def sc_map(b, h, a, p):
         return (b, h, jnp.minimum(a, last_blk(p, b)), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, Tm, D), lambda b, h, a, p: (b, h, 0, 0),
+        pl.BlockSpec((1, G, Tm, D), lambda b, h, a, p: (b, h, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, D), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, a_blk, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, G, D), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_blk, G, D), kv_map, memory_space=pltpu.VMEM),
     ]
-    args = [qk, kf, vf]
+    args = [qk, k, v]
     if quantized:
         # (B, A, Hkv) -> (B, Hkv, A, 1): trailing singleton keeps the
         # block's last-two dims legal ((a_blk, 1): full last dim)
         kst = k_scale.transpose(0, 2, 1)[..., None]
         vst = v_scale.transpose(0, 2, 1)[..., None]
         in_specs += [
-            pl.BlockSpec((1, 1, a_blk, 1), sc_map,
+            pl.BlockSpec((1, G, a_blk, 1), sc_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, a_blk, 1), sc_map,
+            pl.BlockSpec((1, G, a_blk, 1), sc_map,
                          memory_space=pltpu.VMEM),
         ]
         args += [kst, vst]
@@ -202,15 +208,15 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
         transcendentals=B * n_kv * Tm * A)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_kv, n_blocks),
+        grid=(B, n_groups, n_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Tm, D),
+        out_specs=pl.BlockSpec((1, G, Tm, D),
                                lambda b, h, a, p: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Tm, D), jnp.float32),
-            pltpu.VMEM((Tm, 128), jnp.float32),
-            pltpu.VMEM((Tm, 128), jnp.float32),
+            pltpu.VMEM((G * Tm, D), jnp.float32),
+            pltpu.VMEM((G * Tm, 128), jnp.float32),
+            pltpu.VMEM((G * Tm, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(

@@ -26,6 +26,7 @@ def make_inputs(rng, B, T, A, H, n_kv, D, dtype=jnp.float32):
     (2, 16, 256, 4, 2, 128, 37),    # GQA kv_mul=2, two slots
     (1, 128, 128, 2, 2, 128, 0),    # block == whole window
     (2, 8, 512, 4, 4, 128, None),   # per-slot positions, deep window
+    (1, 16, 256, 16, 16, 128, 60),  # G=8 head groups, n_groups=2
 ])
 def test_kernel_matches_einsum(rng, B, T, A, H, n_kv, D, pos):
     q, k, v = make_inputs(rng, B, T, A, H, n_kv, D)

@@ -211,7 +211,9 @@ class InferenceEngine:
         self.rng = XorshiftRNG(seed)
         self.chunk_size = chunk_size
         # kv_quant: False -> bf16 cache; True/8 -> int8; 4 -> nibble-
-        # packed int4 (quarter footprint; einsum attention path only)
+        # packed int4 (quarter footprint). fused_step speaks the nibble
+        # packing natively and auto-selects at deep windows
+        # (LLAMA_TPU_FSTEP_KV4=0 reverts kv4 to the einsum path)
         self.kv_quant = bool(kv_quant)
         self.kv_bits = 4 if kv_quant == 4 else 8
         # speculative decoding (prompt-lookup): propose the k tokens

@@ -549,13 +549,17 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                         # of 64-lane planes (attention_step kv4 notes)
                         and ((cfg.head_dim // 2) % 128 == 0
                              or (cfg.head_dim == 128 and KV % 2 == 0))))
-    # (fused_step stays single-device for now: the kernel is
-    # head-parallel so a per-shard run should be valid, but no chip
-    # measurement of the TP composition exists — einsum + the TP-fused
-    # matmul path is the verified configuration under shard_map)
+    # Under TP the kernel runs per shard: it is head-parallel and every
+    # shape it sees (H, KV, qkv row, cache) is already the local shard's
+    # — validated against the einsum TP path on the 8-device virtual
+    # mesh (tests/test_tp.py::test_tp_fused_step_parity). Real-chip TP
+    # measurement needs >= 2 chips (unavailable); LLAMA_TPU_FSTEP_TP=0
+    # reverts TP to the einsum path.
+    fstep_tp_ok = (tp_axis is None
+                   or os.environ.get("LLAMA_TPU_FSTEP_TP", "1") == "1")
     shapes_ok = (T == 1 and cfg.head_dim % 128 == 0
                  and full_A0 % 128 == 0 and H % KV == 0
-                 and kv4_fstep_ok and tp_axis is None)
+                 and kv4_fstep_ok and fstep_tp_ok)
     # attn_impl "auto" (the engines' default): einsum attention for
     # shallow windows, the fused_step kernel once the window is deep
     # enough that streaming the KV window through one kernel beats
@@ -603,10 +607,19 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
     # blockwise causal flash kernel (ops/pallas/prefill_attention.py)
     # replaces the einsum path's materialized (B, T, Hkv, kv_mul, A)
     # f32 score tensor. attn_impl="einsum" (or the env kill-switch
-    # LLAMA_TPU_PREFILL_ATTN=einsum) forces the plain path; kv4 and TP
-    # stay on einsum (the kernel doesn't speak the nibble packing, and
-    # no chip measurement of the TP composition exists).
-    pfk = (T > 1 and not kv4 and tp_axis is None
+    # LLAMA_TPU_PREFILL_ATTN=einsum) forces the plain path; kv4 stays
+    # on einsum (the kernel doesn't speak the nibble packing). Under TP
+    # the kernel runs per shard over the local kv heads; virtual-mesh
+    # parity in tests/test_tp.py, real-chip TP unmeasurable here —
+    # LLAMA_TPU_PFK_TP=0 reverts TP to einsum.
+    # min-T gate: small teacher-forced blocks (speculative verify
+    # blocks, T = spec_k+1) ride the measured einsum path — the kernel
+    # was A/B'd at block sizes 128+ only, and the tuned spec profiles
+    # predate it (ADVICE r4). LLAMA_TPU_PFK_MIN_T=2 opts small blocks in.
+    pfk_min_t = int(os.environ.get("LLAMA_TPU_PFK_MIN_T", "64"))
+    pfk_tp_ok = (tp_axis is None
+                 or os.environ.get("LLAMA_TPU_PFK_TP", "1") == "1")
+    pfk = (T >= max(2, pfk_min_t) and not kv4 and pfk_tp_ok
            and attn_impl in (None, "fused_step", "batched",
                              "batched_static")
            and os.environ.get("LLAMA_TPU_PREFILL_ATTN",

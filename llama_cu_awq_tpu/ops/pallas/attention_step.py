@@ -68,17 +68,9 @@ def rope_rows(pos: jax.Array, head_dim: int, theta: float):
 
 
 def _make_kernel(n_blocks: int, a_blk: int, H: int, Hp: int, n_kv: int,
-                 D: int, scale: float, quantized: bool, kv_dtype,
-                 kv4: bool = False):
-    """kv4: the cache is nibble-HALVES packed int4 (models.llama.
-    quantize_kv4 — byte i of a head = lane i low nibble, lane i + D/2
-    high nibble, scale absmax/7). The kernel keeps the packing native:
-    scores run as SPLIT dots, one per nibble plane, against two
-    block-diagonal Q matrices (one per D-half), and A·V accumulates the
-    two output halves separately — no full-width window is ever
-    materialized, same reason as the einsum path's split-dot layout
-    (models/llama.py:_attention kv4 branch, measured +35% over an
-    interleaved unpack)."""
+                 D: int, scale: float, quantized: bool, kv_dtype):
+    """bf16 / int8 (quantized=True) cache variant; the nibble-packed
+    int4 cache dispatches to _make_kernel_kv4 instead."""
     kv_mul = H // n_kv
     HD = n_kv * D
     half = D // 2
@@ -250,10 +242,15 @@ def _unpack4(c, dtype):
 
 def _make_kernel_kv4(n_blocks: int, a_blk: int, H: int, Hp: int,
                      n_kv: int, D: int, scale: float):
-    """kv_bits=4 variant of _make_kernel (see its docstring): the cache
-    arrives nibble-HALVES packed and FLATTENED to (B, A, n_kv * D/2)
-    int8 (lane-complete blocks); scores/AV run as split dots per nibble
-    plane against two half-width block-diagonal Q matrices. Unlike the
+    """kv_bits=4 variant of _make_kernel: the cache arrives
+    nibble-HALVES packed (models.llama.quantize_kv4 — byte i of a head
+    = lane i low nibble, lane i + D/2 high nibble, scale absmax/7) and
+    FLATTENED to (B, A, n_kv * D/2) int8 (lane-complete blocks);
+    scores/AV run as split dots per nibble plane against two half-width
+    block-diagonal Q matrices, and A·V accumulates the two output
+    halves separately — no full-width window is ever materialized, same
+    reason as the einsum path's split-dot layout (models/llama.py
+    _attention kv4 branch, measured +35% over an interleaved unpack). Unlike the
     int8 variant, the CURRENT row's rope + quantize + pack runs in XLA
     (the caller feeds the packed row + scales as 1-row inputs): packing
     in-kernel needs a (n_kv, D/2) -> (1, n_kv*D/2) reshape, a lane-dim

@@ -127,13 +127,26 @@ def _make_kernel(n_blocks: int, a_blk: int, G: int, Tm: int,
 
 def supports(T: int, H: int, D: int, A: int, n_kv: int) -> bool:
     """Shapes the kernel handles: lane-complete heads, a 128-granular
-    window, sublane-complete (T * kv_mul) query rows, and a VMEM-
-    bounded per-group accumulator."""
+    window, sublane-complete (T * kv_mul) query rows, and a VMEM bound
+    over the kernel's FULL footprint (ADVICE r4): the (G*Tm, D) f32 acc
+    plus the m/l scratches — each (G*Tm, 128) f32; lanes pad to 128, so
+    narrower shapes would save nothing — plus the q (bf16) and out
+    (f32) blocks and worst-case double-buffered KV blocks (the a_blk
+    pick in prefill_attention caps one block at 2 MB; x2 buffers x k,v
+    = 8 MB). Budget: 28 MB inside the engines' 32 MB prefill
+    scoped-vmem floor (engine.py _prefill_fn)."""
     if H % n_kv or D % 128 or A % 128:
         return False
     Tm = T * (H // n_kv)
     G = 8 if n_kv % 8 == 0 else n_kv
-    return Tm % 8 == 0 and G * Tm * D * 4 <= (8 << 20)
+    if Tm % 8:
+        return False
+    # head-group legality needs no extra gate: G either equals n_kv
+    # (the block covers the WHOLE head axis — no partitioning, always
+    # legal) or is 8 (the chip-measured partitioned case). Per-shard TP
+    # calls land on G = local n_kv when that isn't 8-divisible.
+    per_row = D * 4 + 2 * 128 * 4 + D * 2 + D * 4
+    return G * Tm * per_row + (8 << 20) <= (28 << 20)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "attn_len"))

@@ -29,6 +29,15 @@ import pytest  # noqa: E402
 REFERENCE_TOKENIZER = "/root/reference/tokenizer.bin"
 
 
+def pytest_collection_modifyitems(items):
+    # two tiers (VERDICT r4 item 7): `pytest -m quick` (< 5 min, every
+    # module represented) and the full suite. quick == "not slow", but
+    # both spellings work.
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

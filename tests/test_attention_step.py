@@ -247,6 +247,7 @@ def test_fused_step_multi_decode_consistency():
 
 @pytest.mark.parametrize("thresh,expect", [(128, "fused_step"),
                                            (1 << 20, "einsum")])
+@pytest.mark.slow
 def test_auto_impl_dispatch(monkeypatch, thresh, expect):
     """attn_impl='auto' (the engines' default) resolves per static
     window: fused_step at/above LLAMA_TPU_FSTEP_MIN_WINDOW, the plain

@@ -110,6 +110,7 @@ def assert_greedy_consistent(params, cfg, prompt, got, tol=1e-1,
 
 
 @pytest.mark.parametrize("prefer_native", [False, True])
+@pytest.mark.slow
 def test_batched_matches_single_engine(tiny_model, prefer_native):
     params, cfg = tiny_model
     prompts = [

@@ -48,6 +48,7 @@ PROMPTS = [
 ]
 
 
+@pytest.mark.slow
 def test_spec_blocks_match_greedy(tiny_model):
     """5 requests over 3 slots, spec blocks: every stream must be
     greedy-consistent, acceptance must actually happen (the random
@@ -75,6 +76,7 @@ def test_spec_blocks_match_greedy(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_matches_plain_engine_streams(tiny_model):
     """Per-request streams equal the non-spec engine's (exact on this
     model/seed; greedy-consistency is the fallback oracle if a
@@ -102,6 +104,7 @@ def test_spec_matches_plain_engine_streams(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_long_prompt_block_prefill(tiny_model):
     """A prompt longer than FORCED_PROMPT_MAX takes the dedicated
     block-prefill path, then speculates; stream stays greedy."""
@@ -121,6 +124,7 @@ def test_spec_long_prompt_block_prefill(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_mixed_sampled_and_greedy_rides_blocks(tiny_model):
     """A temperature>0 request shares spec blocks with greedy slots
     (point-mass-draft rejection sampling): both finish, blocks run, and
@@ -142,6 +146,7 @@ def test_spec_mixed_sampled_and_greedy_rides_blocks(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_sampled_deterministic_and_low_temp_greedy(tiny_model):
     """Sampled spec blocks: (a) the coin stream makes runs reproducible
     — same engine, RNG re-seeded, same stream bit-for-bit (same
@@ -175,6 +180,7 @@ def test_spec_sampled_deterministic_and_low_temp_greedy(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_sampled_acceptance_on_looping_stream(tiny_model):
     """Low-temperature sampling on the looping tiny model: proposals
     fire and get accepted through the SAMPLED verify path (acceptance
@@ -198,6 +204,7 @@ def test_spec_sampled_acceptance_on_looping_stream(tiny_model):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_spec_capacity_boundary(tiny_model):
     """Slots whose remaining cache rows are < T must not take a spec
     block (OOB scatter); the fallback chunk caps k and the request
@@ -225,6 +232,7 @@ def test_spec_unknown_mode_rejected(tiny_model):
         make(params, cfg, spec="lookahead")
 
 
+@pytest.mark.slow
 def test_spec_throttles_on_low_acceptance():
     """Non-repetitive streams (32000-vocab random model: proposals
     fire but miss) must trip the adaptive throttle — spec rounds fall

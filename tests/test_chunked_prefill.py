@@ -45,6 +45,7 @@ SHORT = [BOS_TOKEN, 5, 9, 100]
 LONG = [BOS_TOKEN] + [(7 + 3 * i) % 200 for i in range(PREFILL_BLOCK + 40)]
 
 
+@pytest.mark.slow
 def test_decode_proceeds_during_long_admission(model):
     """A short request decodes tokens in the SAME rounds in which a
     long prompt's prefill job is still in flight — admission no longer

@@ -61,6 +61,7 @@ def test_greedy_generation_deterministic(toy_setup):
     assert stats1["tokens"] == 11
 
 
+@pytest.mark.slow
 def test_long_context_window_consistency(toy_setup):
     """Long-window engines agree with a short-window engine while the
     position is inside both windows (the window only changes what CAN
@@ -92,6 +93,7 @@ def test_seeded_sampling_deterministic(toy_setup):
     assert t1 == t2
 
 
+@pytest.mark.slow
 def test_generation_matches_stepwise_forward(toy_setup):
     """Engine greedy output == hand-rolled forward+argmax loop."""
     from llama_cu_awq_tpu.models import forward, init_kv_cache
@@ -132,6 +134,7 @@ def test_generation_matches_stepwise_forward(toy_setup):
     assert (first + exp_text).startswith(got)
 
 
+@pytest.mark.slow
 def test_chat_turn_runs_and_persists_position(toy_setup):
     engine = make_engine(toy_setup, temperature=0.0)
     reply1 = engine.chat_turn("the cat", steps=40)

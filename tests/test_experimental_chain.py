@@ -29,6 +29,8 @@ mono_layer = int4_chain.mono_layer
 mono_supported = int4_chain.mono_supported
 
 
+pytestmark = pytest.mark.slow  # integration tier (see README testing section)
+
 def make_qt(rng, n_in, n_out):
     w = rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.05
     return to_tpu_layout(QTensor.quantize(w))

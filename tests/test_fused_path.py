@@ -26,6 +26,7 @@ def make_qt(rng, n_in, n_out):
 
 
 @pytest.mark.parametrize("m", [1, 4])
+@pytest.mark.slow
 def test_fused_kernel_matches_oracle_all_features(rng, m):
     n_in, n_out = 512, 640
     qt = make_qt(rng, n_in, n_out)
@@ -117,6 +118,7 @@ def _logits(cfg, params, impl, fused, tokens):
     return np.asarray(lo)
 
 
+@pytest.mark.slow
 def test_fused_forward_matches_unfused(fwd_setup):
     """Whole-network: fused structure (oracle + interpret kernels) vs
     the unfused oracle forward."""
@@ -130,6 +132,7 @@ def test_fused_forward_matches_unfused(fwd_setup):
     assert np.abs(fused_oracle - fused_kernel).max() < 2e-2 * scale
 
 
+@pytest.mark.slow
 def test_fused_decode_steps_match_prefill(fwd_setup):
     """Fused decode through the KV cache step-by-step == fused prefill."""
     cfg, params = fwd_setup

@@ -2,6 +2,7 @@
 variant): quantization error bounds, kernel-vs-oracle parity, and an
 engine run with the quantized head."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_int8_gemv_kernel_matches_oracle(rng):
                                rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_int8_lmhead_logits_close_to_bf16(tiny_config):
     from llama_cu_awq_tpu.models import forward
 

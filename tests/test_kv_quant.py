@@ -61,6 +61,7 @@ def test_forward_quantized_cache_close(tiny_config, rng):
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_engines_run_with_kv_quant(tiny_config):
     cfg = tiny_config
     ckpt = random_checkpoint(cfg, seed=2)
@@ -145,6 +146,7 @@ def test_forward_kv4_cache_close(tiny_config):
                                rtol=0.25, atol=0.25)
 
 
+@pytest.mark.slow
 def test_engines_run_with_kv4(tiny_config):
     cfg = tiny_config
     ckpt = random_checkpoint(cfg, seed=2)

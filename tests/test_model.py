@@ -34,6 +34,7 @@ def test_forward_matches_numpy_oracle(request, fixture, rng):
     np.testing.assert_allclose(ours, oracle, rtol=1e-3, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_decode_matches_prefill(tiny_config, rng):
     """Feeding tokens one at a time through the KV cache must reproduce
     the batched prefill logits (teacher-forced consistency)."""
@@ -56,6 +57,7 @@ def test_decode_matches_prefill(tiny_config, rng):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_attn_len_bucketing_invariant(tiny_config, rng):
     """Attention window bucket (the jit analog of CUDA-graph seq bins)
     must not change results as long as it covers pos+T."""
@@ -73,6 +75,7 @@ def test_attn_len_bucketing_invariant(tiny_config, rng):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_prefill_independent_sequences(tiny_config, rng):
     """Batch dimension must not leak between sequences."""
     cfg = tiny_config
@@ -91,6 +94,7 @@ def test_batched_prefill_independent_sequences(tiny_config, rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_synthetic_params_forward_runs(tiny_config):
     params = synthetic_params(tiny_config, seed=0)
     cfg = tiny_config

@@ -1,6 +1,7 @@
 """Per-request sampling parameters: sample_token_vec semantics vs the
 scalar sampler, and mixed-temperature continuous batching."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,7 @@ def test_vec_matches_scalar_rows(rng):
         assert got[b] == int(np.asarray(want)[0]), (b, got[b], want)
 
 
+@pytest.mark.slow
 def test_mixed_temperature_batch(tiny_config):
     """Greedy and sampled requests share one batched step: the greedy
     request's stream stays greedy-consistent while the sampled neighbor

@@ -76,6 +76,7 @@ def test_causality_exact(rng):
     np.testing.assert_array_equal(out1, out2)
 
 
+@pytest.mark.slow
 def test_attn_len_bound_equivalent(rng):
     B, T, A, H, n_kv, D = 1, 16, 512, 4, 4, 128
     q, k, v = make_inputs(rng, B, T, A, H, n_kv, D)

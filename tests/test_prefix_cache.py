@@ -115,6 +115,7 @@ def test_prefix_hit_rows_exact(model, kv_quant):
     retry_compile_lottery(scenario, attempts=3)
 
 
+@pytest.mark.slow
 def test_multiturn_extension_hits(model):
     """Chat pattern: turn 2's prompt extends turn 1's. The stored
     prefix (block-multiple of turn 1) must be reused, and the longer

@@ -168,6 +168,7 @@ def test_dp_global_queue_bound(dp_setup):
         httpd.server_close()
 
 
+@pytest.mark.slow
 def test_dp_composes_with_spec(dp_setup):
     """dp replicas each running the speculative engine loop
     (_loop_spec): concurrent mixed greedy/sampled requests all finish

@@ -84,6 +84,7 @@ def test_propose_pads_short_tail(tiny):
     assert prop == [42, 9, 5, 6, 7, 7]
 
 
+@pytest.mark.slow
 def test_spec_stream_is_greedy(tiny):
     """Spec engine's stream (mixed verifies + fallback chunks) is the
     greedy stream, and on a looping random model proposals actually
@@ -99,6 +100,7 @@ def test_spec_stream_is_greedy(tiny):
     assert eng.pos == 48
 
 
+@pytest.mark.slow
 def test_spec_matches_plain_stream(tiny):
     """Token-for-token equality against the plain engine (same f32
     dequant math on both paths; any mismatch beyond a near-tie would
@@ -117,6 +119,7 @@ def test_spec_matches_plain_stream(tiny):
         replay_consistent(params, cfg, prompt, base)
 
 
+@pytest.mark.slow
 def test_spec_generate_text_path(tiny):
     """generate() (echo/printing path) with spec on: same text as the
     plain engine."""
@@ -141,6 +144,7 @@ def test_spec_generate_text_path(tiny):
     assert stats["tokens"] == 31
 
 
+@pytest.mark.slow
 def test_spec_respects_max_seq_boundary(tiny):
     """Near the cache boundary speculation must stop (no OOB cache
     rows); the engine falls back to plain steps and still fills to
@@ -153,6 +157,7 @@ def test_spec_respects_max_seq_boundary(tiny):
     replay_consistent(params, cfg, prompt, toks, max_seq=64)
 
 
+@pytest.mark.slow
 def test_spec_sampled_matches_plain_stream(tiny):
     """temperature > 0: the spec engine's SAMPLED stream is
     bit-identical to the plain engine's — verify positions peek the

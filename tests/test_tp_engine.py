@@ -21,6 +21,8 @@ from llama_cu_awq_tpu.tokenizer import BOS_TOKEN
 TP = 4
 
 
+pytestmark = pytest.mark.slow  # integration tier (see README testing section)
+
 @pytest.fixture(scope="module")
 def setup():
     # head_dim 128 so per-shard kv_dim stays quant-group aligned at tp=4

@@ -16,8 +16,13 @@ TOK=/root/reference/tokenizer.bin
 
 [ -f $CORPUS/train.txt ] || python tools/build_corpus.py --out $CORPUS
 
-# 1. train (defaults: dim 512 / hidden 1536 / 8L / 8H, ~50M params)
-python -u tools/train_tiny.py --corpus $CORPUS --out $OUT --steps $STEPS
+# 1. train (dim 512 / hidden 1536 / 8L / 4H, ~50M params). 4 heads —
+# NOT the rounds-2-4 8 — so head_dim = 128 and the REAL decode kernels
+# (fused_step attention, batched) engage in the PPL matrix below;
+# with head_dim 64 every kernel silently fell back to einsum and the
+# matrix never exercised what the headline runs (VERDICT r4 item 8).
+python -u tools/train_tiny.py --corpus $CORPUS --out $OUT --steps $STEPS \
+    --heads 4 --kv-heads 4
 
 # 2. pack through the offline pipeline (native packer, old AWQ format)
 cmake -B native/build -G Ninja native >/dev/null && ninja -C native/build
@@ -47,3 +52,14 @@ python -m llama_cu_awq_tpu $OUT/model.bin -z $TOK -m perplexity \
     | tee $OUT/ppl_oracle.txt
 
 grep -h "Geomean perplexity" $OUT/ppl_pallas.txt $OUT/ppl_oracle.txt
+
+# 5. decode throughput through the REAL checkpoint (VERDICT r4 item 6):
+# loader + tokenizer + kernels + sampler measured jointly at speed; the
+# dual run reports plain AND spec tok/s with real-prose acceptance
+python bench.py --model $OUT/model.bin -z $TOK --steps 128 --repeats 3 \
+    | tee $OUT/bench_decode_real.json
+
+# 6. the standing PPL matrix over every promotable quantization lever
+# (decode-path stepwise scoring — the same kernels the headline runs)
+python tools/ppl_matrix.py $OUT/model.bin -z $TOK -q $CORPUS/valid.txt \
+    --seqs 30 --json $OUT/ppl_matrix.json | tee $OUT/ppl_matrix.md

@@ -479,6 +479,30 @@ def _post_attention(attn, x, ss, layer, fused, tp_axis, matmul_impl,
     return (d_part + x.astype(jnp.float32)).astype(act_dtype), None
 
 
+def _post_attention_chained(attn, x, ss, layer, next_layer, matmul_impl,
+                            act_dtype):
+    """Fused _post_attention variant that CHAINS the down-proj with the
+    NEXT layer's qkv projection in one Pallas launch
+    (ops/pallas/down_qkv.py): o and gate_up keep their measured-winning
+    standalone kernels; the down->qkv boundary — where the round-2/3
+    XProf attribution placed the largest exposed staging cost — is
+    welded. Returns (x, ss, qkv_next)."""
+    from llama_cu_awq_tpu.ops.linear import _on_tpu
+    from llama_cu_awq_tpu.ops.pallas.down_qkv import down_qkv_fused
+
+    x1, ss1 = qmatmul_fused(attn, layer.wo, matmul_impl,
+                            residual=x, emit_ss_eps=RMS_EPS,
+                            out_dtype=act_dtype)
+    gu, _ = qmatmul_fused(x1, layer.w_gate_up, matmul_impl,
+                          prescale=(ss1, layer.ffn_norm),
+                          out_dtype=act_dtype)
+    g, u = jnp.split(gu, 2, axis=-1)
+    x2, ss2, qkv_next = down_qkv_fused(
+        g, u, x1, layer.w_down, next_layer.wqkv, next_layer.attn_norm,
+        eps=RMS_EPS, out_dtype=act_dtype, interpret=not _on_tpu())
+    return x2, ss2, qkv_next.astype(act_dtype)
+
+
 def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
             pos: jax.Array, cache: KVCache, *, attn_len: int | None = None,
             act_dtype=jnp.bfloat16, matmul_impl: str | None = None,
@@ -629,15 +653,34 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
 
         pfk = pf.supports(T, H, D, full_A0, KV)
 
+    # down->next-qkv chained kernel (ops/pallas/down_qkv.py): the last
+    # matmul of layer l and the first of layer l+1 run as one 2-stage
+    # Pallas grid, so qkv's first weight blocks prefetch during the
+    # down stage — attacking the ~0.7 ms/step of exposed qkv staging
+    # the round-2 XProf attributed. Opt-in (LLAMA_TPU_DOWN_QKV=1; the
+    # tuned bench profiles promote it where chip-measured faster).
+    dq_chain = (fused and tp_axis is None
+                and os.environ.get("LLAMA_TPU_DOWN_QKV", "0") == "1")
+    if dq_chain:
+        from llama_cu_awq_tpu.ops.pallas.down_qkv import (
+            supported as _dq_supported)
+
+        dq_chain = (len(params.layers) > 1
+                    and _dq_supported(params.layers[0].w_down,
+                                      params.layers[1].wqkv, B * T))
+
     # unrolled layer loop: per-layer weights/caches are separate arrays,
     # so Pallas kernels and attention read them with zero copies (a
     # lax.scan over stacked tensors would materialize a dynamic-slice of
     # every layer's weights each step — ~2x HBM traffic)
     new_k, new_v, new_ks, new_vs = [], [], [], []
 
+    qkv_pending = None
     for l, layer in enumerate(params.layers):
         # --- attention block ---
-        if fused:
+        if qkv_pending is not None:
+            qkv, qkv_pending = qkv_pending, None
+        elif fused:
             qkv, _ = qmatmul_fused(x, layer.wqkv, matmul_impl,
                                    prescale=(ss, layer.attn_norm),
                                    out_dtype=act_dtype)
@@ -659,8 +702,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
                 new_vs.append(
                     _update_cache(cache.v_scale[l], vsn[:, None], pos))
             attn = attn_k.reshape(B, 1, H * D).astype(act_dtype)
-            x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                    matmul_impl, act_dtype)
+            if dq_chain and l + 1 < len(params.layers):
+                x, ss, qkv_pending = _post_attention_chained(
+                    attn, x, ss, layer, params.layers[l + 1],
+                    matmul_impl, act_dtype)
+            else:
+                x, ss = _post_attention(attn, x, ss, layer, fused,
+                                        tp_axis, matmul_impl, act_dtype)
             continue
         qh, kh, vh = jnp.split(qkv, [dim_q, dim_q + dim_kv], axis=-1)
         qh = qh.reshape(B, T, H, D)
@@ -750,8 +798,13 @@ def forward(params: LlamaParams, cfg: ModelConfig, tokens: jax.Array,
         else:
             attn = _attention(qh, k_att, v_att, pos,
                               act_dtype, attn_impl).astype(act_dtype)
-        x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
-                                matmul_impl, act_dtype)
+        if dq_chain and l + 1 < len(params.layers):
+            x, ss, qkv_pending = _post_attention_chained(
+                attn, x, ss, layer, params.layers[l + 1],
+                matmul_impl, act_dtype)
+        else:
+            x, ss = _post_attention(attn, x, ss, layer, fused, tp_axis,
+                                    matmul_impl, act_dtype)
 
     if no_logits:
         # teacher-forced prompt step: only the cache matters (the

@@ -378,22 +378,36 @@ def dual_run(args):
             continue
         cleaned.append(a)
 
+    # the tunneled TPU intermittently hangs a fresh process in warmup
+    # (measured ~minutes-long stalls with ~0 CPU); a leg therefore gets
+    # a hard timeout and one retry so the driver's round-end bench can
+    # never wedge on chip weather
+    leg_timeout = int(os.environ.get("LLAMA_BENCH_LEG_TIMEOUT", "1800"))
+
     def leg(spec, repeats=None):
         cmd = base_cmd + cleaned + ["--spec", spec]
         if repeats is not None:
             cmd += ["--repeats", str(repeats)]
-        log(f"[dual] bench.py {' '.join(cmd[2:])}")
-        t0 = time.time()
-        out = subprocess.run(cmd, stdout=subprocess.PIPE, text=True)
-        if out.returncode:
-            log(f"[dual] leg --spec {spec} FAILED rc={out.returncode}")
-            return None
-        lines = [ln for ln in out.stdout.splitlines()
-                 if ln.startswith("{")]
-        res = json.loads(lines[-1]) if lines else None
-        log(f"[dual] leg --spec {spec} done in {time.time()-t0:.0f}s: "
-            f"{res and res.get('value')}")
-        return res
+        for attempt in (1, 2):
+            log(f"[dual] bench.py {' '.join(cmd[2:])} (attempt {attempt})")
+            t0 = time.time()
+            try:
+                out = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                     text=True, timeout=leg_timeout)
+            except subprocess.TimeoutExpired:
+                log(f"[dual] leg --spec {spec} HUNG after {leg_timeout}s"
+                    " — killed")
+                continue
+            if out.returncode:
+                log(f"[dual] leg --spec {spec} FAILED rc={out.returncode}")
+                continue
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("{")]
+            res = json.loads(lines[-1]) if lines else None
+            log(f"[dual] leg --spec {spec} done in {time.time()-t0:.0f}s: "
+                f"{res and res.get('value')}")
+            return res
+        return None
 
     plain = leg("none")
     spec = leg("ngram")

@@ -133,6 +133,59 @@ def main():
             log(f"decode {name}: FAIL {type(e).__name__} "
                 f"({time.time()-t0:.1f}s)")
 
+    # ---- down->qkv chain gate (LLAMA_TPU_DOWN_QKV=1): needs a dim
+    # where out_pad == planar_pad (the decode-gate dim 512 pads 512 vs
+    # 1024 so the chain silently disengages there) ----
+    cfg_c = ModelConfig(dim=1024, hidden_dim=1536, n_layers=2,
+                        n_heads=8, n_kv_heads=8, vocab_size=1024,
+                        seq_len=512)
+    params_c = synthetic_params(cfg_c, seed=9, tpu_layout=True)
+
+    def run_decode_chain(env_on, stream):
+        if env_on:
+            os.environ["LLAMA_TPU_DOWN_QKV"] = "1"
+        else:
+            os.environ.pop("LLAMA_TPU_DOWN_QKV", None)
+
+        @jax.jit
+        def _step(params, tok, pos, cache):
+            return forward(params, cfg_c, tok, pos, cache, attn_len=A,
+                           act_dtype=jnp.bfloat16, matmul_impl="pallas")
+
+        cache = init_kv_cache(cfg_c, 1, A)
+        logits_all, toks = [], []
+        tok = jnp.asarray([[1]], jnp.int32)
+        for t in range(n_steps):
+            lo, cache = _step(params_c, tok,
+                              jnp.asarray([t], jnp.int32), cache)
+            lo = np.asarray(lo, np.float32)
+            logits_all.append(lo)
+            toks.append(int(lo[0].argmax()))
+            nxt = stream[t] if stream is not None else toks[-1]
+            tok = jnp.asarray([[nxt]], jnp.int32)
+        return np.stack(logits_all), toks
+
+    t0 = time.time()
+    try:
+        cb_lo, cb_stream = run_decode_chain(False, None)
+        cscale = np.abs(cb_lo).max()
+        lo, toks = run_decode_chain(True, cb_stream)
+        d = float(np.abs(lo - cb_lo).max() / cscale)
+        flips = int(sum(a != b for a, b in zip(toks, cb_stream)))
+        ok = d < TOL
+        results["decode"]["dq_chain"] = {
+            "max_rel_diff": round(d, 5), "argmax_flips": flips, "ok": ok}
+        log(f"decode dq_chain: rel diff {d:.4f}, {flips} flips, "
+            f"{'OK' if ok else 'FAIL'} ({time.time()-t0:.1f}s)")
+    except Exception as e:
+        results["decode"]["dq_chain"] = {
+            "ok": False,
+            "error": f"{type(e).__name__}: {str(e)[:300]}"}
+        log(f"decode dq_chain: FAIL {type(e).__name__} "
+            f"({time.time()-t0:.1f}s)")
+    finally:
+        os.environ.pop("LLAMA_TPU_DOWN_QKV", None)
+
     # ---- batch gate: B=4, int8 KV, one step at staggered positions ---
     B = 4
     rng = np.random.default_rng(11)

@@ -313,7 +313,14 @@ def quantize_lm_head(params: LlamaParams, bits: int = 8,
         from llama_cu_awq_tpu.ops.linear import _on_tpu
         from llama_cu_awq_tpu.quant.qtensor import QTensor, to_tpu_layout
 
-        w = np.asarray(params.lm_head, np.float32).T  # (dim, vocab)
+        # fetch the (vocab, dim) head in row chunks: one monolithic
+        # ~262 MB device_get intermittently hangs the tunneled TPU
+        # transport (measured: minutes-long stalls with zero progress),
+        # while chunked gets stream fine
+        lm = params.lm_head
+        w = np.concatenate(
+            [np.asarray(lm[i:i + 2048], np.float32)
+             for i in range(0, lm.shape[0], 2048)], axis=0).T
         head = QTensor.quantize(w)
         if tpu_layout if tpu_layout is not None else _on_tpu():
             head = to_tpu_layout(head)

@@ -510,6 +510,27 @@ class InferenceEngine:
         out_logits = []
         i = 0
         last_logits = None
+        # multi-block fast path: scan all FULL blocks except the last in
+        # ONE jit (uniform final-bucket attn_len; causal masking makes
+        # the wider window a no-op and the prefill kernel's per-slot
+        # clamp elides its reads). The round-5 XProf on 2016/b512 put
+        # ~19% of prefill wall time in host dispatch gaps between the
+        # per-block jit calls — this removes all but one of them.
+        # Logits come from the last block's normal call; perplexity
+        # (collect_logits) keeps the per-block loop.
+        n_full = (len(tokens) - 1) // PREFILL_BLOCK  # last block stays out
+        if (not collect_logits and n_full >= 2
+                and self.pos + n_full * PREFILL_BLOCK <= self.max_seq
+                and os.environ.get("LLAMA_TPU_PREFILL_SCAN", "1") == "1"):
+            span = n_full * PREFILL_BLOCK
+            attn_len = self._bucket_for(self.pos + span)
+            rows = jnp.asarray(
+                tokens[:span], jnp.int32).reshape(n_full, PREFILL_BLOCK)
+            self.cache = self._prefill_scan_fn(
+                self.params, rows, jnp.asarray([self.pos], jnp.int32),
+                self.cache, attn_len=attn_len)
+            self.pos += span
+            i = span
         while i < len(tokens):
             chunk = tokens[i:i + PREFILL_BLOCK]
             block = 1 if len(chunk) == 1 else PREFILL_BLOCK
@@ -531,6 +552,33 @@ class InferenceEngine:
         if collect_logits:
             return np.concatenate(out_logits, axis=0)
         return last_logits
+
+    @functools.cached_property
+    def _prefill_scan_fn(self):
+        """All-but-last prefill blocks as ONE lax.scan under one jit
+        (see _prefill): no lm_head, no host round-trips between blocks.
+        The reference feeds prompts token-by-token (llama2_q4.cu:462-479)
+        — block prefill is a TPU-first axis, and this removes its last
+        per-block host gap."""
+
+        @functools.partial(
+            engine_jit, tuned=self._step_tuned, vmem_floor_kib=32768,
+            static_argnames=("attn_len",), donate_argnames=("cache",))
+        def prefill_scan(params, rows, pos, cache, *, attn_len):
+            block = rows.shape[1]
+
+            def body(carry, row):
+                pos, cache = carry
+                _, cache = self._fwd(
+                    params, row[None, :], pos, cache, attn_len=attn_len,
+                    act_dtype=self.act_dtype, matmul_impl=self.matmul_impl,
+                    attn_impl=self.attn_impl, no_logits=True)
+                return (pos + block, cache), None
+
+            (_, cache), _ = jax.lax.scan(body, (pos, cache), rows)
+            return cache
+
+        return prefill_scan
 
     def _consume_coins(self, n: int):
         """Keep xorshift stream parity with the reference's one-coin-per-

@@ -180,3 +180,39 @@ def test_generate_steps_clamped(toy_setup):
     engine = make_engine(toy_setup, temperature=0.0)
     _, stats = engine.generate("the", steps=10 ** 9)
     assert stats["tokens"] <= engine.cfg.seq_len
+
+
+def test_prefill_scan_matches_per_block(tiny_config, monkeypatch):
+    """The single-jit scanned multi-block prefill (round-5: removes the
+    per-block host dispatch gaps XProf measured at ~19% of prefill
+    wall) must produce the same cache/logits as the per-block loop."""
+    import numpy as np
+
+    from llama_cu_awq_tpu.engine import engine as eng_mod
+    from llama_cu_awq_tpu.engine.engine import InferenceEngine
+    from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
+    from llama_cu_awq_tpu.models import params_from_checkpoint
+
+    ckpt = random_checkpoint(tiny_config, seed=21)
+    params = params_from_checkpoint(ckpt, tpu_layout=True)
+    prompt = [5 + i % 200 for i in range(40)]
+    monkeypatch.setattr(eng_mod, "PREFILL_BLOCK", 8)
+
+    def run(scan_on):
+        monkeypatch.setenv("LLAMA_TPU_PREFILL_SCAN",
+                           "1" if scan_on else "0")
+        e = InferenceEngine(params, tiny_config, matmul_impl="pallas",
+                            temperature=0.0, max_seq=96)
+        e.reset()
+        logits = e._prefill(prompt)
+        return np.asarray(logits), e.cache, e.pos
+
+    base_logits, base_cache, base_pos = run(False)
+    got_logits, got_cache, got_pos = run(True)
+    assert got_pos == base_pos
+    np.testing.assert_allclose(got_logits, base_logits, rtol=2e-2,
+                               atol=2e-2)
+    for a, b in zip(got_cache.k, base_cache.k):
+        np.testing.assert_allclose(
+            np.asarray(a[:, :40], np.float32),
+            np.asarray(b[:, :40], np.float32), rtol=2e-2, atol=2e-2)

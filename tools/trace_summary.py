@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--module", default=None,
                     help="aggregate only ops whose enclosing XLA module "
                          "name contains this substring")
+    ap.add_argument("--families", action="store_true",
+                    help="additionally aggregate ops into families "
+                         "(kernel name + output shape, unique-id "
+                         "suffixes stripped) — the per-step attribution "
+                         "view")
     args = ap.parse_args()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -105,6 +110,24 @@ def summarize_plane(plane, args):
     for name, (ps, cnt) in ops[:args.top]:
         print(f"{ps/1e9:10.3f} ms {cnt:8d} x {ps/1e3/max(cnt,1):9.1f} ns "
               f" {name[:100]}")
+
+    if args.families:
+        import re
+
+        fam = collections.defaultdict(lambda: [0, 0])
+        for name, (ps, cnt) in per_op.items():
+            # "%_int4_matmul_fused_2d.1122 = bf16[1,27648]{...} custom-call(...)"
+            m = re.match(r"%?([A-Za-z_][\w-]*?)(?:[.\d]*)?\s*=\s*"
+                         r"([a-z0-9]+\[[\d,]*\])", name)
+            if m:
+                key = f"{m.group(1)} -> {m.group(2)}"
+            else:
+                key = re.sub(r"[.\d]+", "", name.split(" = ")[0])[:60]
+            fam[key][0] += ps
+            fam[key][1] += cnt
+        print("\n-- op families (unique-id-collapsed) --")
+        for key, (ps, cnt) in sorted(fam.items(), key=lambda kv: -kv[1][0])[:30]:
+            print(f"{ps/1e9:10.3f} ms {cnt:8d} ev  {key[:90]}")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,9 @@ def main():
                          "valid split; 30 keeps the matrix ~minutes)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--json", default=None, metavar="OUT")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filter over config "
+                         "labels (resume a partial matrix run)")
     args = ap.parse_args()
 
     import jax
@@ -120,7 +123,11 @@ def main():
             "exercise the kernel; tools/real_model_e2e.sh does)")
 
     rows = []
+    wanted = ([s.strip() for s in args.only.split(",")]
+              if args.only else None)
     for label, kw, head_bits in MATRIX:
+        if wanted and not any(w in label for w in wanted):
+            continue
         params = base_params
         if head_bits:
             params = quantize_lm_head(base_params, bits=head_bits)

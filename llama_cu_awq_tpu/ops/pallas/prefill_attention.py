@@ -167,9 +167,17 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
     G = 8 if n_kv % 8 == 0 else n_kv
     n_groups = n_kv // G
     quantized = k_scale is not None
-    # block budget: (a_blk, G, D) KV blocks, double-buffered
+    # block budget: (a_blk, G, D) KV blocks, double-buffered (2 MB max
+    # per block -> 8 MB of KV buffering, matching supports()'s bound).
+    # 1024 promoted r5: +2.8% over 512 at 2016/b512 (9391 vs 9137 —
+    # half the online-softmax recurrences per head). LLAMA_TPU_PFK_ABLK
+    # overrides for sweeps.
+    import os
+
     a_blk = 128
-    for cand in (512, 256):
+    env_blk = int(os.environ.get("LLAMA_TPU_PFK_ABLK", "0"))
+    cands = (env_blk,) if env_blk else (1024, 512, 256)
+    for cand in cands:
         if A % cand == 0 and cand * G * D * k.dtype.itemsize \
                 <= (2 << 20):
             a_blk = cand

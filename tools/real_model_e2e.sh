@@ -61,5 +61,8 @@ python bench.py --model $OUT/model.bin -z $TOK --steps 128 --repeats 3 \
 
 # 6. the standing PPL matrix over every promotable quantization lever
 # (decode-path stepwise scoring — the same kernels the headline runs)
+# (stepwise scoring costs one device call per token; 12 seqs x 8
+# configs keeps the matrix ~15 min on the tunneled chip — raise for
+# the full-precision regeneration, tools/ppl_matrix.py --seqs)
 python tools/ppl_matrix.py $OUT/model.bin -z $TOK -q $CORPUS/valid.txt \
-    --seqs 30 --json $OUT/ppl_matrix.json | tee $OUT/ppl_matrix.md
+    --seqs 12 --json $OUT/ppl_matrix.json | tee $OUT/ppl_matrix.md

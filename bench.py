@@ -411,7 +411,10 @@ def dual_run(args):
 
     plain = leg("none")
     spec = leg("ngram")
-    rebracket = leg("none", repeats=2)
+    # drift bracket: 3 repeats vs the plain leg's 6 biases best-of
+    # slightly low (~1%); the signal this guards against is multi-
+    # percent window decay, so the bias is acceptable at half the cost
+    rebracket = leg("none", repeats=3)
     if plain is None and spec is None:
         raise SystemExit("both dual-run legs failed")
     p_val = plain["value"] if plain else None

@@ -46,6 +46,12 @@ from llama_cu_awq_tpu.tokenizer import EOS_TOKEN, Tokenizer
 # import.
 PREFILL_BLOCK = int(os.environ.get("LLAMA_TPU_PREFILL_BLOCK", "128"))
 
+# Scan-prefill chunk width (FULL blocks per jitted lax.scan call): fixed
+# so one executable per attention bucket serves every prompt length — a
+# variable-length scan would recompile the whole model per distinct
+# prompt (code-review r5 finding).
+_SCAN_BLOCKS = int(os.environ.get("LLAMA_TPU_PREFILL_SCAN_BLOCKS", "4"))
+
 
 def propose_ngram(hist, k: int, ns=(3, 2)) -> list[int] | None:
     """Prompt-lookup proposal: the k tokens that followed the most
@@ -510,27 +516,47 @@ class InferenceEngine:
         out_logits = []
         i = 0
         last_logits = None
-        # multi-block fast path: scan all FULL blocks except the last in
-        # ONE jit (uniform final-bucket attn_len; causal masking makes
-        # the wider window a no-op and the prefill kernel's per-slot
-        # clamp elides its reads). The round-5 XProf on 2016/b512 put
-        # ~19% of prefill wall time in host dispatch gaps between the
-        # per-block jit calls — this removes all but one of them.
-        # Logits come from the last block's normal call; perplexity
-        # (collect_logits) keeps the per-block loop.
-        n_full = (len(tokens) - 1) // PREFILL_BLOCK  # last block stays out
-        if (not collect_logits and n_full >= 2
-                and self.pos + n_full * PREFILL_BLOCK <= self.max_seq
-                and os.environ.get("LLAMA_TPU_PREFILL_SCAN", "1") == "1"):
-            span = n_full * PREFILL_BLOCK
-            attn_len = self._bucket_for(self.pos + span)
-            rows = jnp.asarray(
-                tokens[:span], jnp.int32).reshape(n_full, PREFILL_BLOCK)
-            self.cache = self._prefill_scan_fn(
-                self.params, rows, jnp.asarray([self.pos], jnp.int32),
-                self.cache, attn_len=attn_len)
-            self.pos += span
-            i = span
+        # multi-block fast path: FULL blocks run through one jitted
+        # lax.scan in FIXED chunks of _SCAN_BLOCKS blocks (the chunk's
+        # attn_len is its END bucket, so buckets still grow across
+        # chunks — at most one bucket of masked over-attention per
+        # chunk, vs the per-block loop's exact bucketing). The round-5
+        # XProf on 2016/b512 put ~19% of prefill wall time in host
+        # dispatch gaps between per-block jit calls; a fixed chunk
+        # width removes 3 of every 4 gaps while compiling ONE scan
+        # executable per attention bucket (a variable-length scan would
+        # recompile per distinct prompt length). Gated on the prefill
+        # attention KERNEL actually engaging at these shapes — einsum-
+        # fallback configs (int4 KV, non-128 head_dim, env kill-switch)
+        # keep the per-block loop and its exact buckets, where the
+        # wider window would cost real masked score work. Logits come
+        # from the later per-block calls; perplexity (collect_logits)
+        # keeps the per-block loop throughout.
+        if (not collect_logits
+                and len(tokens) - 1 >= 2 * PREFILL_BLOCK
+                and os.environ.get("LLAMA_TPU_PREFILL_SCAN", "1") == "1"
+                and self._prefill_scan_ok()):
+            while True:
+                # chunk width: up to _SCAN_BLOCKS full blocks, at least
+                # 2 (the last full-or-partial block always goes through
+                # the per-block path for its logits) — the compiled
+                # variants are bounded at widths {2.._SCAN_BLOCKS} per
+                # bucket, not one per prompt length
+                take = min(_SCAN_BLOCKS,
+                           (len(tokens) - i - 1) // PREFILL_BLOCK)
+                span = take * PREFILL_BLOCK
+                if take < 2 or self.pos + span > self.max_seq:
+                    break
+                attn_len = self._bucket_for(self.pos + span)
+                rows = jnp.asarray(
+                    tokens[i:i + span],
+                    jnp.int32).reshape(take, PREFILL_BLOCK)
+                self.cache = self._prefill_scan_fn(
+                    self.params, rows,
+                    jnp.asarray([self.pos], jnp.int32),
+                    self.cache, attn_len=attn_len)
+                self.pos += span
+                i += span
         while i < len(tokens):
             chunk = tokens[i:i + PREFILL_BLOCK]
             block = 1 if len(chunk) == 1 else PREFILL_BLOCK
@@ -552,6 +578,33 @@ class InferenceEngine:
         if collect_logits:
             return np.concatenate(out_logits, axis=0)
         return last_logits
+
+    def _prefill_scan_ok(self) -> bool:
+        """Scan-prefill engages only when the T>1 prefill ATTENTION
+        kernel would run these blocks (models/llama.forward pfk gate):
+        its per-slot clamp makes the chunk-end attn_len nearly free,
+        while the einsum fallback (int4 KV, non-128 head_dim, env
+        kill-switch) would pay real masked score work for the wider
+        window — those configs keep the per-block loop's exact buckets
+        (code-review r5 finding)."""
+        if self.kv_bits == 4 and self.kv_quant:
+            return False
+        if os.environ.get("LLAMA_TPU_PREFILL_ATTN", "pallas") == "einsum":
+            return False
+        if PREFILL_BLOCK < int(os.environ.get("LLAMA_TPU_PFK_MIN_T",
+                                              "64")):
+            return False
+        from llama_cu_awq_tpu.ops.pallas import prefill_attention as pf
+
+        cfg = self.cfg
+        tp = 1
+        if self.mesh is not None:
+            from llama_cu_awq_tpu.parallel.mesh import TP_AXIS
+
+            tp = self.mesh.shape.get(TP_AXIS, 1)
+        return pf.supports(PREFILL_BLOCK, cfg.n_heads // tp,
+                           cfg.head_dim, self.max_seq,
+                           cfg.n_kv_heads // tp)
 
     @functools.cached_property
     def _prefill_scan_fn(self):

@@ -149,7 +149,6 @@ def supports(T: int, H: int, D: int, A: int, n_kv: int) -> bool:
     return G * Tm * per_row + (8 << 20) <= (28 << 20)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "attn_len"))
 def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
                       attn_len: int | None = None,
                       interpret: bool = False) -> jax.Array:
@@ -160,20 +159,18 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
     the grid only covers its blocks — the cache is read in place.
     Returns (B, T, H, D) f32.
     """
-    B, T, H, D = q.shape
-    A, n_kv = k.shape[1], k.shape[2]
-    kv_mul = H // n_kv
-    Tm = T * kv_mul
-    G = 8 if n_kv % 8 == 0 else n_kv
-    n_groups = n_kv // G
-    quantized = k_scale is not None
-    # block budget: (a_blk, G, D) KV blocks, double-buffered (2 MB max
-    # per block -> 8 MB of KV buffering, matching supports()'s bound).
-    # 1024 promoted r5: +2.8% over 512 at 2016/b512 (9391 vs 9137 —
-    # half the online-softmax recurrences per head). LLAMA_TPU_PFK_ABLK
-    # overrides for sweeps.
+    # KV block pick runs OUTSIDE the jit (a_blk is a static arg): the
+    # env override must retrace, not silently hit a stale executable
+    # (code-review r5 finding). Budget: (a_blk, G, D) blocks, double-
+    # buffered, 2 MB max per block -> 8 MB of KV buffering, matching
+    # supports()'s bound. 1024 promoted r5: +2.8% over 512 at
+    # 2016/b512 (9391 vs 9137 — half the online-softmax recurrences
+    # per head). LLAMA_TPU_PFK_ABLK overrides for sweeps.
     import os
 
+    A, n_kv = k.shape[1], k.shape[2]
+    D = q.shape[3]
+    G = 8 if n_kv % 8 == 0 else n_kv
     a_blk = 128
     env_blk = int(os.environ.get("LLAMA_TPU_PFK_ABLK", "0"))
     cands = (env_blk,) if env_blk else (1024, 512, 256)
@@ -182,6 +179,23 @@ def prefill_attention(q, k, v, pos, k_scale=None, v_scale=None, *,
                 <= (2 << 20):
             a_blk = cand
             break
+    return _prefill_attention_jit(q, k, v, pos, k_scale, v_scale,
+                                  attn_len=attn_len, a_blk=a_blk,
+                                  interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "attn_len", "a_blk"))
+def _prefill_attention_jit(q, k, v, pos, k_scale=None, v_scale=None, *,
+                           attn_len: int | None = None, a_blk: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    B, T, H, D = q.shape
+    A, n_kv = k.shape[1], k.shape[2]
+    kv_mul = H // n_kv
+    Tm = T * kv_mul
+    G = 8 if n_kv % 8 == 0 else n_kv
+    n_groups = n_kv // G
+    quantized = k_scale is not None
     n_blocks = -(-min(attn_len or A, A) // a_blk)
     scale = 1.0 / float(np.sqrt(D))
 

@@ -182,28 +182,37 @@ def test_generate_steps_clamped(toy_setup):
     assert stats["tokens"] <= engine.cfg.seq_len
 
 
-def test_prefill_scan_matches_per_block(tiny_config, monkeypatch):
-    """The single-jit scanned multi-block prefill (round-5: removes the
-    per-block host dispatch gaps XProf measured at ~19% of prefill
-    wall) must produce the same cache/logits as the per-block loop."""
+def test_prefill_scan_matches_per_block(monkeypatch):
+    """The fixed-chunk scanned multi-block prefill (round-5: removes
+    the per-block host dispatch gaps XProf measured at ~19% of prefill
+    wall) must produce the same cache/logits as the per-block loop.
+    Needs the prefill-kernel-capable geometry (head_dim 128, cache len
+    % 128 == 0) — the scan gate keeps einsum-fallback configs on the
+    exact per-block buckets."""
     import numpy as np
 
+    from llama_cu_awq_tpu.config import ModelConfig
     from llama_cu_awq_tpu.engine import engine as eng_mod
     from llama_cu_awq_tpu.engine.engine import InferenceEngine
     from llama_cu_awq_tpu.io.checkpoint import random_checkpoint
     from llama_cu_awq_tpu.models import params_from_checkpoint
 
-    ckpt = random_checkpoint(tiny_config, seed=21)
+    cfg = ModelConfig(dim=512, hidden_dim=768, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=512, seq_len=128)
+    ckpt = random_checkpoint(cfg, seed=21)
     params = params_from_checkpoint(ckpt, tpu_layout=True)
     prompt = [5 + i % 200 for i in range(40)]
     monkeypatch.setattr(eng_mod, "PREFILL_BLOCK", 8)
+    monkeypatch.setenv("LLAMA_TPU_PFK_MIN_T", "8")
 
     def run(scan_on):
         monkeypatch.setenv("LLAMA_TPU_PREFILL_SCAN",
                            "1" if scan_on else "0")
-        e = InferenceEngine(params, tiny_config, matmul_impl="pallas",
-                            temperature=0.0, max_seq=96)
+        e = InferenceEngine(params, cfg, matmul_impl="pallas",
+                            temperature=0.0, max_seq=128)
         e.reset()
+        if scan_on:
+            assert e._prefill_scan_ok()
         logits = e._prefill(prompt)
         return np.asarray(logits), e.cache, e.pos
 

@@ -55,7 +55,9 @@ def stepwise_dataset_ppl(engine, dataset_text: str, max_seqs: int):
             row = engine._prefill([t], collect_logits=True)[0]
             probs = _softmax_f32(row)
             total += float(np.log(np.float64(probs[toks[i]])))
-        values.append(float(np.exp(-total / n)))
+        ppl = float(np.exp(-total / n))
+        if np.isfinite(ppl):  # protocol parity: perplexity.py skips
+            values.append(ppl)  # non-finite sequences (f32 underflow)
     if not values:
         return float("nan"), 0
     return float(np.exp(np.mean([np.log(v) for v in values]))), len(values)
@@ -139,8 +141,15 @@ def main():
                      "sequences": n})
         log(f"{label:24s}  {ppl:.6f}  ({n} seqs)")
 
-    base = rows[0]["geomean_ppl"]
-    print("| Config | geomean PPL | vs bf16 |")
+    if not rows:
+        raise SystemExit("--only matched no matrix configs")
+    # the delta column is only labeled "vs bf16" when the bf16 baseline
+    # actually ran (an --only resume may exclude it)
+    base_row = next((r for r in rows
+                     if r["config"] == "bf16 KV, einsum"), None)
+    base = (base_row or rows[0])["geomean_ppl"]
+    ref = "bf16" if base_row else rows[0]["config"]
+    print(f"| Config | geomean PPL | vs {ref} |")
     print("|---|---|---|")
     for r in rows:
         d = r["geomean_ppl"] / base - 1.0
